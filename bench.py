@@ -1,0 +1,183 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: tokens/sec through the full dedup+filter pipeline over the
+north-star tokenized corpus (BASELINE.json).  The sf documents table is small
+(5k rows at sf0.1), so the corpus is deterministically amplified (replication
+with planted exact-dup replicas and near-dup perturbations, pure Catalyst
+expressions) and materialized to parquet once — the timed pipeline then reads
+parquet like it would read the Iceberg table.
+
+Scaling evidence (N vs 4N): tools/bench_scaling.py runs this same pipeline at
+local[8] and local[32] and records efficiency in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
+CORPUS_DIR = os.environ.get(
+    "BENCH_CORPUS_DIR", f"/tmp/bench_corpus_{os.path.basename(SF_DIR.rstrip('/'))}_r{REPLICAS}"
+)
+
+
+def amplified_corpus(spark, sf_dir: str, replicas: int):
+    """Deterministic corpus amplification: each document appears ``replicas``
+    times; 30% of replicas keep identical tokens (exact dups for dedup work),
+    the rest get a replica-specific token prepended (near-dups).  All JVM
+    expressions — this is itself a distributed job at 100 TB."""
+    from dataflow_spark.corpus import tokenized_corpus
+
+    base = tokenized_corpus(spark, sf_dir)
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    n_docs = base.count()
+    df = base.crossJoin(reps)
+    perturb = F.pmod(F.xxhash64("doc_id") + F.col("rep") * 31, F.lit(50257)).cast("int")
+    tokens = F.when(F.pmod(F.col("rep"), F.lit(10)) < 3, F.col("tokens")).otherwise(
+        F.concat(F.array(perturb), F.col("tokens"))
+    )
+    return df.select(
+        F.concat(F.col("doc_id"), F.lit("-r"), F.col("rep").cast("string")).alias("doc_id"),
+        (F.col("rep") * n_docs + F.col("doc_seq")).alias("doc_seq"),
+        "text",
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        "source",
+        (F.col("event_time") + F.make_interval(secs=F.col("rep").cast("double"))).alias("event_time"),
+    )
+
+
+def ensure_corpus(spark) -> str:
+    if not os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        amplified_corpus(spark, SF_DIR, REPLICAS).repartition(CPUS).write.mode(
+            "overwrite"
+        ).parquet(CORPUS_DIR)
+    return CORPUS_DIR
+
+
+def pt_pipeline(spark, corpus_dir: str):
+    """The headline job: scan -> exact dedup -> rule filters (token + text) ->
+    quality/ngram scores -> aggregate survivors + surviving tokens."""
+    from dataflow_spark.core.stage import get_operator
+    from dataflow_spark.operators import dedup
+    from dataflow_spark.operators.filters import keep_n_tok_range, keep_unique_tokens
+    from dataflow_spark.operators.evaluators import quality_score
+    from dataflow_spark.functions.text import ngram_unique_ratio
+
+    df = spark.read.parquet(corpus_dir)
+    df = df.withColumn("_th", dedup.token_hash())
+    df = dedup.exact_dedup(df, hash_col="_th").drop("_th")
+    df = df.where(keep_n_tok_range(5, 100000)).where(keep_unique_tokens(0.1))
+    for name, kw in (
+        ("ContentNullFilter", {}),
+        ("WordNumberFilter", {"min_words": 5, "max_words": 100000}),
+        ("ColonEndFilter", {}),
+        ("LoremIpsumFilter", {}),
+        ("WatermarkFilter", {}),
+        ("CurlyBracketFilter", {}),
+        ("MeanWordLengthFilter", {"min_len": 2.0, "max_len": 12.0}),
+        ("UniqueWordsFilter", {"threshold": 0.1}),
+        ("CapitalWordsFilter", {"threshold": 0.4}),
+        ("SymbolWordRatioFilter", {}),
+    ):
+        df = get_operator(name, input_key="text", **kw).apply(df)
+    df = df.withColumn("QualityScore", quality_score("text")).withColumn(
+        "NgramScore", ngram_unique_ratio(F.col("tokens"), 3)
+    )
+    return df.agg(
+        F.count("*").alias("rows"), F.sum("n_tok").alias("tokens")
+    ).collect()[0]
+
+
+def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
+    from dataflow_spark.operators import dedup
+    from dataflow_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    corpus_dir = ensure_corpus(spark)
+    corpus = spark.read.parquet(corpus_dir)
+    total_tokens = corpus.agg(F.sum("n_tok")).collect()[0][0]
+    total_rows = corpus.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {
+        "input_rows": float(total_rows),
+        "input_tokens": float(total_tokens),
+    }
+
+    def bench(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    bench("pt_pipeline", lambda: pt_pipeline(spark, corpus_dir))
+    extras["tokens_per_sec"] = round(total_tokens / timings["pt_pipeline"], 1)
+
+    bench(
+        "minhash_dedup",
+        lambda: dedup.minhash_dedup(corpus, use_tokens=True, token_ngram=3, bands=16)
+        .agg(F.count("*"), F.sum("n_tok"))
+        .collect(),
+    )
+    bench(
+        "exact_dedup",
+        lambda: dedup.exact_dedup(
+            corpus.withColumn("_th", dedup.token_hash()), hash_col="_th"
+        )
+        .agg(F.count("*"))
+        .collect(),
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bench(
+        "window_agg",
+        lambda: events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*"), F.sum("value"))
+        .collect(),
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bench("ann_brute_force", lambda: brute_force_topk(emb, qs, k=10).collect())
+    dim = len(emb.select("embedding").first()[0])
+    bench("ann_lsh", lambda: lsh_topk(emb, qs, dim=dim, k=10, n_bits=8).collect())
+
+    return timings, extras
+
+
+def main():
+    from dataflow_spark.session import get_spark
+
+    spark = get_spark(app_name="dataflow_spark_bench", cpus=CPUS)
+    t0 = time.time()
+    timings, extras = run_benchmarks(spark)
+    total = round(time.time() - t0, 3)
+    result = {
+        "metric": "dedup+filter pipeline wall time (headline: tokens/sec over amplified tokenized corpus)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "total_wall_s": total,
+        **extras,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+from dataflow_spark.operators import (  # noqa: F401
+    dedup,
+    evaluators,
+    filters,
+    refiners,
+    similarity,
+)

@@ -1,0 +1,455 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram-segment.
+
+Reference semantics (SURVEY.md §2.1): sequential scan with an in-memory
+seen-set / LSH index, first occurrence in file order wins
+(hash_deduplicate_filter.py:75-89, minhash_deduplicate_filter.py:66-83).
+A distributed engine carries the arrival order explicitly (``doc_seq``) and
+defines the canonical survivor of a duplicate cluster as the row with the
+MINIMUM arrival sequence.  For exact dedup this is identical to the
+reference's output.  For near-dedup (MinHash/SimHash/n-gram) we compute
+duplicate CLUSTERS (connected components over candidate pairs) and keep the
+min-seq row per cluster — the scan-order-independent closure of the
+reference's query-then-insert loop; on chain-free data (the common case at
+threshold 0.9) the outputs coincide, and the pytest oracle implements the
+same cluster semantics in pandas for row-for-row verification.
+
+Scale notes (100 TB):
+* exact dedup = ONE hash shuffle with map-side partial ``min_by`` aggregation
+  — no window sort, no skew (hash keys are uniform);
+* MinHash = vectorized numpy signatures over JVM-prehashed shingles (Arrow
+  batches, no per-row Python), banded into (band_id, band_hash) buckets;
+  candidate edges are star edges to each bucket's min-seq root, so a
+  degenerate bucket of B rows costs B edges, never B²;
+* SimHash/n-gram verification needs true pairwise checks — bucket sizes are
+  capped (cap param) to bound the self-join blow-up on degenerate buckets;
+* connected components = iterative min-label propagation (few rounds at 0.9
+  threshold), each round one shuffle join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from dataflow_spark.core.stage import Stage, register
+from dataflow_spark.functions.text import ngram_strings
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash(keys: tuple[str, ...], algo: str = "md5"):
+    """Canonical content hash over one or more columns.  Multi-key rows are
+    joined as '{k}:\\n{v}' with '\\n' separators — exact parity with
+    hash_deduplicate_filter.py:79-80."""
+    if len(keys) == 1:
+        payload = F.col(keys[0]).cast("string")
+    else:
+        payload = F.concat_ws(
+            "\n", *[F.concat(F.lit(f"{k}:\n"), F.col(k).cast("string")) for k in keys]
+        )
+    if algo == "md5":
+        return F.md5(payload.cast("binary"))
+    if algo == "sha256":
+        return F.sha2(payload.cast("binary"), 256)
+    if algo == "sha1":
+        return F.sha1(payload.cast("binary"))
+    if algo == "xxh3":  # reference offers xxh3_128; xxhash64 is the JVM native
+        return F.xxhash64(payload).cast("string")
+    raise ValueError(f"unknown hash algo {algo}")
+
+
+def token_hash():
+    """Content hash of a token array: xxhash64 over the canonical
+    comma-joined int encoding — the dedup key for token-array equality."""
+    return F.xxhash64(F.array_join(F.col("tokens"), ","))
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("text",),
+    seq_col: str = "doc_seq",
+    algo: str = "md5",
+    hash_col: str | None = None,
+) -> DataFrame:
+    """First-seen-wins exact dedup (HashDeduplicateFilter,
+    hash_deduplicate_filter.py:10-91).
+
+    groupBy(hash).agg(min_by(row, seq)) — a single shuffle with map-side
+    partial aggregation; beats row_number() windows (no per-partition sort).
+    """
+    h = F.col(hash_col) if hash_col else content_hash(keys, algo)
+    cols = df.columns
+    tagged = df.withColumn("_content_hash", h)
+    return (
+        tagged.groupBy("_content_hash")
+        .agg(F.min_by(F.struct(*cols), F.col(seq_col)).alias("_row"))
+        .select("_row.*")
+    )
+
+
+@register("HashDeduplicateFilter")
+def hash_dedup_stage(input_keys: tuple[str, ...] = ("text",), seq_col: str = "doc_seq", algo: str = "md5") -> Stage:
+    return Stage(
+        "HashDeduplicateFilter",
+        lambda df: exact_dedup(df, tuple(input_keys), seq_col, algo),
+        tuple(input_keys) + (seq_col,),
+        (),
+        "filter",
+    )
+
+
+def ccnet_dedup(df: DataFrame, key: str = "text", bits: int = 64, seq_col: str = "doc_seq") -> DataFrame:
+    """CCNetDeduplicateFilter (ccnet_deduplicate_filter.py:42-109): exact
+    dedup on the first ``bits`` of SHA-1 — substring of the hex digest."""
+    h = F.substring(F.sha1(F.col(key).cast("binary")), 1, bits // 4)
+    return exact_dedup(df.withColumn("_ccnet_h", h), seq_col=seq_col, hash_col="_ccnet_h").drop("_ccnet_h")
+
+
+@register("CCNetDeduplicateFilter")
+def ccnet_dedup_stage(input_key: str = "text", bits: int = 64, seq_col: str = "doc_seq") -> Stage:
+    return Stage(
+        "CCNetDeduplicateFilter",
+        lambda df: ccnet_dedup(df, input_key, bits, seq_col),
+        (input_key, seq_col),
+        (),
+        "filter",
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components (min-label propagation) — shared by all near-dedup ops
+# ---------------------------------------------------------------------------
+
+
+def connected_components_min(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Edges (a:long, b:long) -> (node:long, component:long) where component
+    is the min node id reachable.  Iterative min-label propagation: each round
+    joins labels across edges and keeps the min; converges in O(diameter)
+    rounds (near-dup clusters at 0.9 threshold are tiny stars, 2-3 rounds).
+    Each round is one shuffle; AQE coalesces the tail."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.groupBy("a").agg(F.min("b").alias("lbl"))
+        .select(F.col("a").alias("node"), F.least("a", "lbl").alias("component"))
+    )
+    for _ in range(max_iter):
+        # neighbor's current label, pulled across edges
+        prop = (
+            sym.join(labels, sym["b"] == labels["node"], "inner")
+            .groupBy(sym["a"].alias("node"))
+            .agg(F.min("component").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nbr_lbl", F.col("component"))).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_cluster_min(df: DataFrame, edges: DataFrame, seq_col: str = "doc_seq") -> DataFrame:
+    """Drop every row whose seq appears in a duplicate cluster with a smaller
+    min-seq; annotate nothing (reference drops silently)."""
+    comps = connected_components_min(edges)
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(seq_col)
+    )
+    # left_anti shuffle join; AQE converts it to broadcast when losers is
+    # small (the usual case — dup fraction ~10%), and handles skew otherwise.
+    return df.join(losers, seq_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dedup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MAX32 = np.uint64((1 << 32) - 1)
+
+
+def _perms(num_perm: int, seed: int = 1):
+    """Deterministic (a, b) permutation params — same 61-bit Mersenne-prime
+    scheme datasketch uses, so small-scale signatures can be verified against
+    an independent oracle at equal seeds."""
+    gen = np.random.RandomState(seed)
+    a = gen.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = gen.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_band_udf(num_perm: int = 128, bands: int = 16, seed: int = 1):
+    """pandas_udf: array<long> shingle hashes -> array<long> band hashes.
+
+    The expensive inner loop ((a*h + b) mod p, min over shingles) runs as one
+    numpy einsum-style broadcast per Arrow batch — no per-row Python.  Band
+    hash = polynomial combine of the band's r signature values.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    a, b = _perms(num_perm, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                # null array -> posexplode emits nothing -> doc never pairs
+                out.append(None)
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # (num_perm, n_shingles) broadcast; mod 61-bit prime; 32-bit mask
+            phv = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+            sig = np.bitwise_and(phv.min(axis=1), _MAX32)
+            bandsig = sig.reshape(bands, r)
+            # polynomial band combine in uint64 (wrapping)
+            bh = np.zeros(bands, dtype=np.uint64)
+            for j in range(r):
+                bh = bh * np.uint64(1000003) + bandsig[:, j]
+            out.append(bh.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return udf
+
+
+def minhash_dedup(
+    df: DataFrame,
+    key: str = "text",
+    seq_col: str = "doc_seq",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 5,
+    use_tokens: bool = False,
+    token_ngram: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHashDeduplicateFilter (minhash_deduplicate_filter.py:9-89): char
+    5-gram MinHash(num_perm=128) + LSH at threshold≈0.9; survivor = min-seq
+    per near-dup cluster (see module docstring for the semantics contract).
+
+    bands=16 × r=8 gives LSH threshold (1/b)^(1/r) ≈ 0.707 band-collision
+    knee; the reference's 0.9 threshold maps to bands=8/r=16 — configurable.
+
+    Plan shape: scan -> HOF shingling -> xxhash64 (JVM) -> Arrow batch numpy
+    signature -> posexplode bands -> ONE groupBy shuffle for bucket roots ->
+    star edges -> CC -> left_anti.  No B² bucket blow-up anywhere.
+    """
+    if use_tokens:
+        shingles = ngram_strings(F.col("tokens"), token_ngram, ",")
+    else:
+        # char n-grams: sliding substring window, JVM-side HOF (dynamic start
+        # position needs the SQL expr form of substring)
+        s = F.col(key)
+        shingles = F.when(
+            F.length(s) >= shingle_n,
+            F.expr(
+                f"transform(sequence(1, length({key}) - {shingle_n} + 1), "
+                f"i -> substring({key}, i, {shingle_n}))"
+            ),
+        ).otherwise(F.array(s))
+    shingle_hashes = F.transform(shingles, lambda g: F.xxhash64(g))
+
+    band_udf = minhash_band_udf(num_perm, bands, seed)
+    sig = df.select(
+        F.col(seq_col).alias("_seq"),
+        band_udf(shingle_hashes).alias("_bands"),
+    )
+    exploded = sig.select(
+        "_seq", F.posexplode("_bands").alias("band_id", "band_hash")
+    )
+
+    roots = exploded.groupBy("band_id", "band_hash").agg(F.min("_seq").alias("_root"))
+    edges = (
+        exploded.join(roots, ["band_id", "band_hash"])
+        .where(F.col("_seq") != F.col("_root"))
+        .select(F.col("_seq").alias("a"), F.col("_root").alias("b"))
+        .distinct()
+    )
+    return keep_cluster_min(df, edges, seq_col)
+
+
+@register("MinHashDeduplicateFilter")
+def minhash_dedup_stage(input_key: str = "text", seq_col: str = "doc_seq", **kw) -> Stage:
+    return Stage(
+        "MinHashDeduplicateFilter",
+        lambda df: minhash_dedup(df, input_key, seq_col, **kw),
+        (input_key, seq_col),
+        (),
+        "filter",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+
+def simhash_udf():
+    """pandas_udf: array<long> word hashes -> 64-bit simhash fingerprint.
+    Vectorized per Arrow batch: bit-unpack each hash, ±1 sum, sign."""
+
+    @pandas_udf(T.LongType())
+    def udf(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                out[i] = 0
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for j in np.nonzero(v > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return udf
+
+
+def simhash_dedup(
+    df: DataFrame,
+    key: str = "text",
+    seq_col: str = "doc_seq",
+    threshold: float = 0.9,
+    n_chunks: int = 8,
+    bucket_cap: int = 1000,
+    use_tokens: bool = False,
+) -> DataFrame:
+    """SimHashDeduplicateFilter (simhash_deduplicate_filter.py:14-85):
+    64-bit simhash, similarity 1 - hamming/64 >= threshold ⇒ duplicate.
+    The reference's O(n²) scan becomes: pigeonhole-block on 8×8-bit chunks
+    (hamming <= 6 guarantees ≥1 identical chunk), self-join per (chunk, value)
+    bucket, exact Hamming verify via bit_count(xor), CC, min-seq survivor.
+    Buckets above ``bucket_cap`` are dropped from pairing (logged upstream) to
+    bound the quadratic verify — at 100 TB a hot bucket means a degenerate
+    fingerprint, which exact-dedup already collapsed."""
+    max_dist = int(round((1 - threshold) * 64))
+    src = F.col("tokens") if use_tokens else F.filter(
+        F.split(F.lower(F.col(key)), r"\s+"), lambda w: w != ""
+    )
+    word_hashes = F.transform(src, lambda w: F.xxhash64(w.cast("string")))
+    fp_df = df.select(
+        F.col(seq_col).alias("_seq"), simhash_udf()(word_hashes).alias("_fp")
+    )
+    chunk_bits = 64 // n_chunks
+    chunks = fp_df.select(
+        "_seq",
+        "_fp",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("_fp"), i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                for i in range(n_chunks)
+            ])
+        ).alias("chunk_id", "chunk_val"),
+    )
+    # cap degenerate buckets
+    sizes = chunks.groupBy("chunk_id", "chunk_val").agg(F.count("*").alias("_n"))
+    chunks = chunks.join(
+        sizes.where(F.col("_n") <= bucket_cap), ["chunk_id", "chunk_val"]
+    )
+    a = chunks.select(
+        F.col("chunk_id"), F.col("chunk_val"),
+        F.col("_seq").alias("a"), F.col("_fp").alias("fp_a"),
+    )
+    b = chunks.select(
+        F.col("chunk_id"), F.col("chunk_val"),
+        F.col("_seq").alias("b"), F.col("_fp").alias("fp_b"),
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "fp_a", "fp_b")
+        .distinct()
+    )
+    edges = pairs.where(
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_dist
+    ).select("a", "b")
+    return keep_cluster_min(df, edges, seq_col)
+
+
+@register("SimHashDeduplicateFilter")
+def simhash_dedup_stage(input_key: str = "text", seq_col: str = "doc_seq", **kw) -> Stage:
+    return Stage(
+        "SimHashDeduplicateFilter",
+        lambda df: simhash_dedup(df, input_key, seq_col, **kw),
+        (input_key, seq_col),
+        (),
+        "filter",
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram segment-hash near-dedup
+# ---------------------------------------------------------------------------
+
+
+def ngramhash_dedup(
+    df: DataFrame,
+    key: str = "text",
+    seq_col: str = "doc_seq",
+    n_gram: int = 3,
+    diff_size: int = 1,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """NgramHashDeduplicateFilter (ngramhash_deduplicate_filter.py:10-85):
+    split text into ``n_gram`` equal segments, hash each; two docs are dups if
+    they share >= ``diff_size`` segment hashes.  Distributed: explode
+    (doc, seg_hash) -> self-join on seg_hash -> overlap count >= diff_size ->
+    CC -> min-seq survivor."""
+    s = F.col(key)
+    seg_len = (F.length(s) / n_gram).cast("int")
+    segs = F.when(
+        (F.length(s) >= n_gram) & (seg_len > 0),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_gram - 1)),
+            lambda i: F.xxhash64(F.substring(s, F.lit(1) + i * seg_len, seg_len)),
+        ),
+    ).otherwise(F.array(F.xxhash64(s)))
+    seg_df = (
+        df.select(F.col(seq_col).alias("_seq"), F.explode(segs).alias("seg_hash"))
+        .distinct()
+    )
+    sizes = seg_df.groupBy("seg_hash").agg(F.count("*").alias("_n"))
+    seg_df = seg_df.join(sizes.where(F.col("_n") <= bucket_cap), "seg_hash")
+    a = seg_df.select(F.col("seg_hash"), F.col("_seq").alias("a"))
+    b = seg_df.select(F.col("seg_hash"), F.col("_seq").alias("b"))
+    overlap = (
+        a.join(b, "seg_hash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    edges = overlap.where(F.col("shared") >= diff_size).select("a", "b")
+    return keep_cluster_min(df, edges, seq_col)
+
+
+@register("NgramHashDeduplicateFilter")
+def ngramhash_dedup_stage(input_key: str = "text", seq_col: str = "doc_seq", **kw) -> Stage:
+    return Stage(
+        "NgramHashDeduplicateFilter",
+        lambda df: ngramhash_dedup(df, input_key, seq_col, **kw),
+        (input_key, seq_col),
+        (),
+        "filter",
+    )

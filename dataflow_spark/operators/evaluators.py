@@ -1,0 +1,389 @@
+"""Evaluators — add a per-row score column, drop nothing.
+
+Reference pattern: ``eval(df, key) -> scores``; ``run`` writes ``output_key``
+and keeps all rows (ngram_sample_evaluator.py:81-93).  Expression-expressible
+scores are Catalyst; MTLD/HD-D and the perplexity proxy are Arrow pandas UDFs
+(vectorized batches, never per-row Python loops on the driver).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from dataflow_spark.core.stage import Stage, register
+from dataflow_spark.functions.text import (
+    c,
+    char_count_no_ws,
+    count_regex,
+    lower_words,
+    ngram_unique_ratio,
+    ratio,
+    word_count,
+    words,
+)
+from dataflow_spark.operators.filters import STOPWORDS_EN
+
+# ---------------------------------------------------------------------------
+# expression scores
+# ---------------------------------------------------------------------------
+
+
+def ngram_score(col_or_arr, n: int = 3) -> Column:
+    """NgramSampleEvaluator (ngram_sample_evaluator.py:47-79): unique-ngram
+    ratio over words (text) or over the tokens array."""
+    arr = words(col_or_arr) if isinstance(col_or_arr, str) else col_or_arr
+    return ngram_unique_ratio(arr, n)
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return word_count(col)
+
+
+# BPE-ish pre-tokenizer: GPT-2-style contraction/word/number/punct split.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish token count via the GPT-2 pre-tokenizer regex — the cheap
+    JVM-side proxy for HF tokenizer length used by
+    ReasoningAnswerTokenLengthFilter (reasoning_answer_token_length_filter.py:64-104)."""
+    return count_regex(col, BPE_SPLIT_RE)
+
+
+def langid_heuristic(col) -> Column:
+    """Language-ID heuristic (LanguageFilter shape, language_filter.py:54-67,
+    without the fasttext model): 'zh' if CJK chars dominate, 'en' if English
+    stopword hits >= 2, else 'other'.  Pure expressions — model-backed lang-ID
+    plugs into the same stage contract via mapInPandas."""
+    cjk = count_regex(col, r"[一-鿿]")
+    total = F.greatest(F.length(c(col)), F.lit(1))
+    sw = F.size(
+        F.filter(lower_words(col), lambda w: F.array_contains(F.lit(STOPWORDS_EN), w))
+    )
+    return (
+        F.when(cjk.cast("double") / total > 0.05, F.lit("zh"))
+        .when(sw >= 2, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def quality_score(col) -> Column:
+    """Composite heuristic quality score in [0,1] (the engine's native
+    FineWebEdu/Qurating-shaped scorer — model scorers plug into the same
+    score-column + range-filter contract, SURVEY.md §2 text_pt/filter):
+    mean of (length band, stopword ratio band, alpha ratio, punct balance)."""
+    wc = word_count(col)
+    ws_arr = words(col)
+    alpha_ratio = F.coalesce(
+        ratio(F.size(F.filter(ws_arr, lambda w: w.rlike("[a-zA-Z]"))), F.size(ws_arr)),
+        F.lit(0.0),
+    )
+    sw = F.size(
+        F.filter(lower_words(col), lambda w: F.array_contains(F.lit(STOPWORDS_EN), w))
+    )
+    sw_ratio = F.coalesce(ratio(sw, wc), F.lit(0.0))
+    len_band = F.when((wc >= 50) & (wc <= 10000), 1.0).when(
+        (wc >= 20) & (wc < 50), 0.5
+    ).otherwise(0.0)
+    sw_band = F.when((sw_ratio >= 0.05) & (sw_ratio <= 0.6), 1.0).otherwise(0.0)
+    punct = count_regex(col, r"[.!?]")
+    punct_band = F.when(
+        F.coalesce(ratio(punct, wc), F.lit(0.0)).between(0.01, 0.5), 1.0
+    ).otherwise(0.0)
+    return F.round((len_band + sw_band + alpha_ratio + punct_band) / 4.0, 6)
+
+
+def doc_fingerprint(col) -> Column:
+    """Document fingerprint: 64-bit content id = xxhash64 of the
+    whitespace-normalized lowercased text — stable across formatting noise."""
+    return F.xxhash64(F.regexp_replace(F.trim(F.lower(c(col))), r"\s+", " "))
+
+
+def rolling_fingerprint_udf(window: int = 16, base: int = 1000003):
+    """Rolling (Rabin-Karp-style) fingerprint set over the tokens array:
+    polynomial hash of each ``window``-token span, min-sampled to 8 values —
+    a winnowing-style document sketch.  Arrow-vectorized."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def udf(tokens: pd.Series) -> pd.Series:
+        out = []
+        b = np.uint64(base)
+        for toks in tokens:
+            if toks is None or len(toks) < window:
+                out.append([])
+                continue
+            t = np.asarray(toks, dtype=np.int64).astype(np.uint64)
+            n = len(t) - window + 1
+            # rolling polynomial hash, vectorized via cumulative powers
+            pw = np.ones(window, dtype=np.uint64)
+            for i in range(1, window):
+                pw[i] = pw[i - 1] * b
+            first = np.uint64(0)
+            for i in range(window):
+                first = first * b + t[i]
+            hs = np.empty(n, dtype=np.uint64)
+            hs[0] = first
+            top = pw[window - 1]
+            for i in range(1, n):
+                hs[i] = (hs[i - 1] - t[i - 1] * top) * b + t[i + window - 1]
+            hs_sorted = np.sort(hs)
+            out.append(hs_sorted[:8].astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return udf
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF scores: lexical diversity (MTLD / HD-D)
+# ---------------------------------------------------------------------------
+
+
+def mtld_hdd_udf(ttr_threshold: float = 0.72, hdd_draws: int = 42):
+    """LexicalDiversitySampleEvaluator (general_text/eval/
+    lexical_diversity_sample_evaluator.py; filter NaN-pass at
+    lexical_diversity_filter.py:64-65): returns struct(mtld, hdd).
+
+    MTLD: mean factor length where each factor ends when running TTR drops
+    below 0.72, averaged over forward+backward passes.  HD-D: sum over types
+    of (1 - P(type absent from a 42-token hypergeometric draw)) / 42.
+    """
+
+    def mtld_one_direction(toks: list[str]) -> float:
+        factors = 0.0
+        types: set[str] = set()
+        count = 0
+        for w in toks:
+            count += 1
+            types.add(w)
+            ttr = len(types) / count
+            if ttr <= ttr_threshold:
+                factors += 1.0
+                types.clear()
+                count = 0
+        if count > 0:
+            ttr = len(types) / count
+            if ttr == 1.0:
+                factors += 1.0
+            else:
+                factors += (1.0 - ttr) / (1.0 - ttr_threshold)
+        return len(toks) / factors if factors > 0 else float("nan")
+
+    def hdd(toks: list[str]) -> float:
+        n = len(toks)
+        if n < hdd_draws:
+            return float("nan")
+        from collections import Counter
+
+        counts = Counter(toks)
+        total = 0.0
+        for freq in counts.values():
+            # P(type in sample) = 1 - C(n-freq, d)/C(n, d), in log space
+            p_absent = math.exp(
+                math.lgamma(n - freq + 1)
+                - math.lgamma(n - freq - hdd_draws + 1)
+                - math.lgamma(n + 1)
+                + math.lgamma(n - hdd_draws + 1)
+            ) if n - freq >= hdd_draws else 0.0
+            total += (1.0 - p_absent) / hdd_draws
+        return total
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("mtld", T.DoubleType()),
+                T.StructField("hdd", T.DoubleType()),
+            ]
+        )
+    )
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        mt, hd = [], []
+        for txt in texts:
+            toks = [w for w in (txt or "").lower().split() if w]
+            if len(toks) < 10:
+                mt.append(float("nan"))
+                hd.append(float("nan"))
+                continue
+            fwd = mtld_one_direction(toks)
+            bwd = mtld_one_direction(toks[::-1])
+            mt.append((fwd + bwd) / 2.0)
+            hd.append(hdd(toks))
+        return pd.DataFrame({"mtld": mt, "hdd": hd})
+
+    return udf
+
+
+# ---------------------------------------------------------------------------
+# perplexity proxy — broadcast unigram LM over tokens (no GPU)
+# ---------------------------------------------------------------------------
+
+
+def fit_unigram_lm(df: DataFrame, tokens_col: str = "tokens", vocab: int = 50257) -> dict[int, float]:
+    """Fit token unigram log-probs (add-one smoothed) with a distributed
+    aggregation; the resulting dict broadcasts into the scoring UDF —
+    PerplexitySampleEvaluator's stage shape (perplexity_sample_evaluator.py:67-68)
+    with a corpus-fit unigram LM standing in for the GPU gpt2."""
+    counts = (
+        df.select(F.explode(tokens_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in counts) + vocab
+    return {r["tok"]: math.log((r["n"] + 1) / total) for r in counts}
+
+
+def perplexity_proxy_udf(logprobs: dict[int, float], vocab: int = 50257, default_total: float | None = None):
+    """pandas_udf: tokens -> exp(mean NLL) under the broadcast unigram LM —
+    `exp(loss)` parity with perplexity_sample_evaluator.py:67-68."""
+    default_lp = default_total if default_total is not None else math.log(1.0 / vocab)
+
+    @pandas_udf(T.DoubleType())
+    def udf(tokens: pd.Series) -> pd.Series:
+        # dense numpy lookup table beats dict probing at Arrow batch sizes
+        lut = np.full(vocab, default_lp, dtype=np.float64)
+        for t, lp in logprobs.items():
+            if 0 <= t < vocab:
+                lut[t] = lp
+        out = np.full(len(tokens), np.nan)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            idx = np.asarray(toks, dtype=np.int64)
+            out[i] = float(np.exp(-lut[idx].mean()))
+        return pd.Series(out)
+
+    return udf
+
+
+# ---------------------------------------------------------------------------
+# pairwise text-similarity evaluators (BLEU)
+# ---------------------------------------------------------------------------
+
+
+def bleu_udf(max_n: int = 4):
+    """BleuSampleEvaluator (general_text/eval/bleu_sample_evaluator.py +
+    eval/bleu/bleu.py): sentence BLEU-4 with uniform weights and brevity
+    penalty between two text columns, Arrow-vectorized."""
+
+    @pandas_udf(T.DoubleType())
+    def udf(hyp: pd.Series, ref: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out = []
+        for h, r in zip(hyp, ref):
+            ht = (h or "").split()
+            rt = (r or "").split()
+            if not ht or not rt:
+                out.append(0.0)
+                continue
+            logs = []
+            for n in range(1, max_n + 1):
+                hng = Counter(tuple(ht[i : i + n]) for i in range(len(ht) - n + 1))
+                rng = Counter(tuple(rt[i : i + n]) for i in range(len(rt) - n + 1))
+                overlap = sum(min(cnt, rng[g]) for g, cnt in hng.items())
+                total = max(sum(hng.values()), 1)
+                # +1 smoothing for n>1 (standard smoothie)
+                if n == 1:
+                    p = overlap / total
+                else:
+                    p = (overlap + 1) / (total + 1)
+                if p == 0:
+                    logs.append(float("-inf"))
+                else:
+                    logs.append(math.log(p))
+            bp = min(1.0, math.exp(1 - len(rt) / len(ht)))
+            score = bp * math.exp(sum(logs) / max_n) if all(map(math.isfinite, logs)) else 0.0
+            out.append(score)
+        return pd.Series(out)
+
+    return udf
+
+
+# ---------------------------------------------------------------------------
+# Stage factories
+# ---------------------------------------------------------------------------
+
+
+@register("NgramSampleEvaluator")
+def ngram_eval_stage(input_key: str = "text", output_key: str = "NgramScore", n: int = 3) -> Stage:
+    return Stage(
+        "NgramSampleEvaluator",
+        lambda df: df.withColumn(output_key, ngram_score(input_key, n)),
+        (input_key,),
+        (output_key,),
+        "eval",
+    )
+
+
+@register("LexicalDiversitySampleEvaluator")
+def lexdiv_eval_stage(input_key: str = "text") -> Stage:
+    udf = mtld_hdd_udf()
+
+    def fn(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_ld", udf(F.col(input_key)))
+            .withColumn("LexicalDiversityMTLDScore", F.col("_ld.mtld"))
+            .withColumn("LexicalDiversityHD-DScore", F.col("_ld.hdd"))
+            .drop("_ld")
+        )
+
+    return Stage(
+        "LexicalDiversitySampleEvaluator",
+        fn,
+        (input_key,),
+        ("LexicalDiversityMTLDScore", "LexicalDiversityHD-DScore"),
+        "eval",
+    )
+
+
+@register("PerplexitySampleEvaluator")
+def perplexity_eval_stage(logprobs: dict | None = None, tokens_col: str = "tokens", output_key: str = "PerplexityScore") -> Stage:
+    def fn(df: DataFrame) -> DataFrame:
+        lp = logprobs if logprobs is not None else fit_unigram_lm(df, tokens_col)
+        return df.withColumn(output_key, perplexity_proxy_udf(lp)(F.col(tokens_col)))
+
+    return Stage(
+        "PerplexitySampleEvaluator", fn, (tokens_col,), (output_key,), "eval"
+    )
+
+
+@register("BleuSampleEvaluator")
+def bleu_eval_stage(hyp_key: str, ref_key: str, output_key: str = "BleuScore") -> Stage:
+    udf = bleu_udf()
+    return Stage(
+        "BleuSampleEvaluator",
+        lambda df: df.withColumn(output_key, udf(F.col(hyp_key), F.col(ref_key))),
+        (hyp_key, ref_key),
+        (output_key,),
+        "eval",
+    )
+
+
+@register("QualityScoreEvaluator")
+def quality_eval_stage(input_key: str = "text", output_key: str = "QualityScore") -> Stage:
+    return Stage(
+        "QualityScoreEvaluator",
+        lambda df: df.withColumn(output_key, quality_score(input_key)),
+        (input_key,),
+        (output_key,),
+        "eval",
+    )
+
+
+@register("LanguageIdEvaluator")
+def langid_eval_stage(input_key: str = "text", output_key: str = "lang_pred") -> Stage:
+    return Stage(
+        "LanguageIdEvaluator",
+        lambda df: df.withColumn(output_key, langid_heuristic(input_key)),
+        (input_key,),
+        (output_key,),
+        "eval",
+    )

@@ -1,0 +1,158 @@
+"""Refiners — in-place text-column rewrites as Catalyst expression stages.
+
+Reference pattern (canonical: dataflow/operators/general_text/refine/
+remove_extra_spaces_refiner.py:43-69): read table -> per-row Python string
+rewrite of ``input_key`` -> write whole table.  Here each refiner is a pure
+``regexp_replace``/``translate``/``lower`` Column expression, so an arbitrary
+refiner chain fuses into one codegen stage (zero Python, zero materialization).
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.stage import Stage, register
+from dataflow_spark.functions.text import c
+
+# --- expression builders ----------------------------------------------------
+
+
+def remove_extra_spaces(col) -> Column:
+    """RemoveExtraSpacesRefiner (remove_extra_spaces_refiner.py:9-69):
+    ' '.join(text.split()) == collapse all whitespace runs, strip ends."""
+    return F.regexp_replace(F.trim(c(col)), r"\s+", " ")
+
+
+_EMOJI_RANGES = (
+    "[\U0001F600-\U0001F64F"   # emoticons
+    "\U0001F300-\U0001F5FF"    # symbols & pictographs
+    "\U0001F680-\U0001F6FF"    # transport & map
+    "\U0001F1E0-\U0001F1FF"    # flags
+    "\U00002700-\U000027BF"
+    "\U0001F900-\U0001F9FF"
+    "\U00002600-\U000026FF]+"
+)
+
+
+def remove_emoji(col) -> Column:
+    """RemoveEmojiRefiner (remove_emoji_refiner.py:10-17): strip emoji ranges."""
+    return F.regexp_replace(c(col), _EMOJI_RANGES, "")
+
+
+def remove_html_url(col) -> Column:
+    """HtmlUrlRemoverRefiner (html_url_remover_refiner.py:51-53): strip
+    https?://\\S+ URLs then <...> tags, in that order."""
+    no_url = F.regexp_replace(c(col), r"https?://\S+", "")
+    return F.regexp_replace(no_url, r"<[^>]*>", "")
+
+
+def remove_html_entity(col) -> Column:
+    """HtmlEntityRefiner (html_entity_refiner.py:9-37): strip the same entity
+    set HtmlEntityFilter detects."""
+    from dataflow_spark.operators.filters import _ENTITY_RE
+
+    return F.regexp_replace(c(col), _ENTITY_RE, "")
+
+
+def lowercase(col) -> Column:
+    """LowercaseRefiner (lowercase_refiner.py:9-48)."""
+    return F.lower(c(col))
+
+
+def remove_punctuation(col) -> Column:
+    """RemovePunctuationRefiner (remove_punctuation_refiner.py:9-53):
+    str.translate deleting ASCII punctuation — exact translate() analogue."""
+    return F.translate(c(col), string.punctuation, "")
+
+
+def remove_number(col) -> Column:
+    """RemoveNumberRefiner (remove_number_refiner.py:8-42): delete digits."""
+    return F.regexp_replace(c(col), "[0-9]", "")
+
+
+def remove_repetitions_punctuation(col) -> Column:
+    """RemoveRepetitionsPunctuationRefiner
+    (remove_repetitions_punctuation_refiner.py:10-54): ([^\\w\\s_])\\1+ -> \\1
+    (Java regex backreference, JVM-side; (?U) makes Java's \\w Unicode-aware
+    to match Python re semantics — otherwise repeated CJK chars collapse)."""
+    return F.regexp_replace(c(col), r"(?U)([^\w\s_])\1+", "$1")
+
+
+def remove_image_refs(col) -> Column:
+    """RemoveImageRefsRefiner (remove_image_ref_refiner.py:9-55): strip
+    markdown image refs ![alt](url) and bare image filenames."""
+    no_md = F.regexp_replace(c(col), r"!\[[^\]]*\]\([^)]*\)", "")
+    return F.regexp_replace(no_md, r"(?i)\b\S+\.(?:png|jpe?g|gif|bmp|webp)\b", "")
+
+
+def remove_reference(col) -> Column:
+    """ReferenceRemoverRefiner (ref_removal_refiner.py:47-54): strip
+    [1]-style citation markers."""
+    return F.regexp_replace(c(col), r"\[\d{1,3}\]", "")
+
+
+def remove_stopwords(col) -> Column:
+    """RemoveStopwordsRefiner (remove_stopwords_refiner.py:29): drop stopword
+    words, rejoin with single spaces — array HOFs, no Python."""
+    from dataflow_spark.operators.filters import STOPWORDS_EN
+
+    ws = F.filter(F.split(c(col), r"\s+"), lambda w: w != "")
+    kept = F.filter(
+        ws, lambda w: ~F.array_contains(F.lit(STOPWORDS_EN), F.lower(w))
+    )
+    return F.array_join(kept, " ")
+
+
+def text_normalization(col) -> Column:
+    """TextNormalizationRefiner (text_normalization_refiner.py:55-70):
+    MM/DD/YYYY -> YYYY-MM-DD and $N -> N USD."""
+    iso = F.regexp_replace(
+        c(col), r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b", "$3-$1-$2"
+    )
+    return F.regexp_replace(iso, r"\$(\d+(?:\.\d+)?)", "$1 USD")
+
+
+_REFINERS = {
+    "RemoveExtraSpacesRefiner": remove_extra_spaces,
+    "RemoveEmojiRefiner": remove_emoji,
+    "HtmlUrlRemoverRefiner": remove_html_url,
+    "HtmlEntityRefiner": remove_html_entity,
+    "LowercaseRefiner": lowercase,
+    "RemovePunctuationRefiner": remove_punctuation,
+    "RemoveNumberRefiner": remove_number,
+    "RemoveRepetitionsPunctuationRefiner": remove_repetitions_punctuation,
+    "RemoveImageRefsRefiner": remove_image_refs,
+    "ReferenceRemoverRefiner": remove_reference,
+    "RemoveStopwordsRefiner": remove_stopwords,
+    "TextNormalizationRefiner": text_normalization,
+}
+
+
+def refine_stage(name: str, expr_builder):
+    def make(input_key: str = "text") -> Stage:
+        def fn(df: DataFrame) -> DataFrame:
+            return df.withColumn(input_key, expr_builder(input_key))
+
+        return Stage(name, fn, (input_key,), (input_key,), "refine")
+
+    return make
+
+
+for _name, _builder in _REFINERS.items():
+    register(_name)(refine_stage(_name, _builder))
+
+
+@register("PandasOperator")
+def pandas_operator(fns: list | None = None) -> Stage:
+    """PandasOperator (core_text/refine/pandas_operator.py:8-52): arbitrary
+    DataFrame->DataFrame lambda list — the generic transform stage."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        for f in fns or []:
+            df = f(df)
+        return df
+
+    return Stage("PandasOperator", fn, (), (), "transform")

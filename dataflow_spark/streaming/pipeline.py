@@ -1,0 +1,349 @@
+"""Structured-Streaming pipeline — the north-rule core.
+
+Re-expresses the reference's StreamBatchedPipelineABC (micro-batch chunking +
+resume, dataflow/pipeline/Pipeline.py:613-697 and
+StreamBatchedFileStorage.iter_chunks, dataflow/utils/storage.py:1169-1184) as
+a real Structured Streaming job:
+
+* source: file-stream over the tokenized-corpus directory (parquet).  On a
+  production cluster this is ``spark.readStream.format("iceberg")`` — the
+  Iceberg connector jars are not in this sandbox, so the source is stubbed
+  behind an import-try (``iceberg_source``) with the file stream as the
+  drop-in stand-in (identical schema and semantics downstream);
+* event-time watermark (``withWatermark``) bounds all state;
+* exact dedup: ``applyInPandasWithState`` keyed by a hash shard, state = seen
+  token-hash set with event-time timeout — the streaming analogue of the
+  reference's in-memory ``seen`` set (hash_deduplicate_filter.py:75-89),
+  approximation contract identical to dropDuplicatesWithinWatermark: exact
+  within the watermark horizon;
+* rule filters: the same Catalyst predicates as batch (stateless, fuse);
+* windowed aggregation: tumbling window keyed by (skew-salted) source;
+* sink: ``foreachBatch`` idempotent parquet append keyed by batchId —
+  exactly-once via write-once batch directories + per-partition lineage
+  columns (batch_id, part_id) and per-batch metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dataflow_spark.corpus import CORPUS_SCHEMA
+
+N_SHARDS_DEFAULT = 64
+
+
+def iceberg_source(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg streaming source — requires iceberg-spark-runtime jars (not in
+    this sandbox image).  Raises with guidance; file_stream_source is the
+    sandbox stand-in."""
+    try:
+        return spark.readStream.format("iceberg").load(table)
+    except Exception as e:  # pragma: no cover - jars absent in sandbox
+        raise NotImplementedError(
+            "Iceberg runtime jars not on classpath; use file_stream_source() "
+            "(same schema/semantics) or add "
+            "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages"
+        ) from e
+
+
+def file_stream_source(
+    spark: SparkSession, corpus_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Parquet file stream over the corpus directory (micro-batch = files)."""
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(corpus_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful exact dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_DEDUP_OUT_SCHEMA = T.StructType(
+    list(CORPUS_SCHEMA.fields)
+    + [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("_seen_total", T.LongType()),
+    ]
+)
+_DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen_hashes", T.ArrayType(T.LongType()))]
+)
+
+
+def _dedup_fn(
+    key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-shard first-seen dedup.  State: seen token-hash array.  Within a
+    micro-batch rows are processed in doc_seq order so first-seen semantics
+    hold inside the batch too."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (seen_list,) = state.get if state.exists else ([],)
+    seen = set(seen_list or [])
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("doc_seq")
+        keep_mask = []
+        for h in pdf["_th"]:
+            h = int(h)
+            if h in seen:
+                keep_mask.append(False)
+            else:
+                seen.add(h)
+                keep_mask.append(True)
+        out = pdf[keep_mask].drop(columns=["_th"])
+        if len(out):
+            out = out.assign(_seen_total=len(seen))
+            yield out
+    state.update((list(seen),))
+    # TTL: state survives one hour of event time past the watermark
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600 * 1000)
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    watermark_delay: str = "10 minutes",
+    n_shards: int = N_SHARDS_DEFAULT,
+) -> DataFrame:
+    """Exact first-seen dedup over the stream.  The seen-hash state is sharded
+    by hash prefix (``n_shards`` keys) so state distributes across executors;
+    at 10^12-sequence scale raise n_shards to O(10 × cores) and the state
+    store (RocksDB in prod) holds the horizon's hashes.  TTL via event-time
+    timeout bounds state to the watermark horizon — the same approximation
+    contract as dropDuplicatesWithinWatermark."""
+    tagged = stream.withColumn(
+        "_th", F.xxhash64(F.array_join(F.col("tokens"), ","))
+    ).withColumn("shard", F.pmod(F.col("_th"), F.lit(n_shards)).cast("int"))
+    return (
+        tagged.withWatermark("event_time", watermark_delay)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=_DEDUP_OUT_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_builtin_dedup(
+    stream: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Production-default path: dropDuplicatesWithinWatermark on the token
+    hash (state store managed by Spark; RocksDB-backed on a real cluster)."""
+    tagged = stream.withColumn(
+        "_th", F.xxhash64(F.array_join(F.col("tokens"), ","))
+    )
+    return tagged.withWatermark("event_time", watermark_delay).dropDuplicatesWithinWatermark(
+        ["_th"]
+    ).drop("_th")
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregation with skew salting
+# ---------------------------------------------------------------------------
+
+
+def windowed_source_stats(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark_delay: str = "10 minutes",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Tumbling/sliding window token stats per source with two-phase skew
+    salting: partial agg on (window, source, salt) — spreads the ~70%-hot
+    'cc' key over n_salt reducers — then final agg on (window, source).
+    Identical results to the direct agg; the hot key never lands on one task."""
+    win = F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    salted = stream.withWatermark("event_time", watermark_delay).withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int")
+    )
+    partial = salted.groupBy(win.alias("w"), "source", "_salt").agg(
+        F.count("*").alias("_n"), F.sum("n_tok").alias("_tok")
+    )
+    return partial.groupBy("w", "source").agg(
+        F.sum("_n").alias("n_docs"), F.sum("_tok").alias("n_tokens")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "source",
+        "n_docs",
+        "n_tokens",
+    )
+
+
+def session_windows_per_source(
+    stream: DataFrame, gap: str = "30 minutes", watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Session windows per source (doc batches separated by quiet gaps) —
+    session_window keyed by source (north rule: session windows per doc_id
+    batch)."""
+    return (
+        stream.withWatermark("event_time", watermark_delay)
+        .groupBy(F.session_window("event_time", gap).alias("sw"), "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "source",
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream self-join for cross-shard near-dup candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def near_dup_candidates_stream(
+    stream: DataFrame,
+    watermark_delay: str = "10 minutes",
+    join_horizon: str = "1 hour",
+    bands: int = 16,
+    num_perm: int = 128,
+) -> DataFrame:
+    """Stateful stream-stream self-join on MinHash band hashes: emits
+    (band_hash, doc_a, doc_b) candidate pairs where doc_a arrived earlier
+    (event-time bounded by ``join_horizon``).  Downstream either drops doc_b
+    (first-seen near-dedup) or feeds a clustering job."""
+    from dataflow_spark.functions.text import ngram_strings
+    from dataflow_spark.operators.dedup import minhash_band_udf
+
+    shingle_hashes = F.transform(
+        ngram_strings(F.col("tokens"), 3, ","), lambda g: F.xxhash64(g)
+    )
+    band_udf = minhash_band_udf(num_perm, bands)
+    banded = (
+        stream.withColumn("_bands", band_udf(shingle_hashes))
+        .select(
+            "doc_id",
+            "doc_seq",
+            "event_time",
+            F.posexplode("_bands").alias("band_id", "band_hash"),
+        )
+        .withWatermark("event_time", watermark_delay)
+    )
+    left = banded.select(
+        F.col("band_id").alias("l_band_id"),
+        F.col("band_hash").alias("l_band_hash"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("doc_seq").alias("seq_a"),
+        F.col("event_time").alias("time_a"),
+    )
+    right = banded.select(
+        F.col("band_id").alias("r_band_id"),
+        F.col("band_hash").alias("r_band_hash"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("doc_seq").alias("seq_b"),
+        F.col("event_time").alias("time_b"),
+    )
+    return (
+        left.join(
+            right,
+            F.expr(
+                f"""
+                l_band_id = r_band_id AND l_band_hash = r_band_hash
+                AND seq_a < seq_b
+                AND time_b BETWEEN time_a AND time_a + INTERVAL {join_horizon}
+                """
+            ),
+        )
+        .select(
+            F.col("l_band_hash").alias("band_hash"),
+            "doc_a",
+            "doc_b",
+            "seq_a",
+            "seq_b",
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# exactly-once sink + lineage
+# ---------------------------------------------------------------------------
+
+
+def idempotent_parquet_sink(out_dir: str, metrics_path: str | None = None):
+    """foreachBatch writer: write-once per batchId (re-delivered batches after
+    restart are skipped — exactly-once on top of at-least-once), per-partition
+    lineage columns (batch_id, part_id), per-batch metrics JSON.
+
+    On a real cluster the same pattern targets an Iceberg table where the
+    batchId is recorded as a snapshot property (commit-level idempotence)."""
+
+    def write(df: DataFrame, batch_id: int):
+        batch_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+            return  # replayed batch — already durable
+        out = df.withColumn("part_id", F.spark_partition_id()).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("overwrite").parquet(batch_dir)
+        if metrics_path:
+            written = df.sparkSession.read.parquet(batch_dir)
+            stats = written.groupBy("part_id").agg(
+                F.count("*").alias("rows"),
+                F.sum("n_tok").alias("tokens"),
+            ).collect()
+            rec = {
+                "batch_id": batch_id,
+                "rows": int(sum(r["rows"] for r in stats)),
+                "tokens": int(sum(r["tokens"] or 0 for r in stats)),
+                "partitions": [
+                    {"part_id": r["part_id"], "rows": r["rows"], "tokens": int(r["tokens"] or 0)}
+                    for r in stats
+                ],
+            }
+            os.makedirs(os.path.dirname(metrics_path), exist_ok=True)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    return write
+
+
+def run_dedup_filter_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+    n_shards: int = 8,
+    filters: list | None = None,
+):
+    """The full streaming pipeline: source -> watermark -> stateful exact
+    dedup -> rule filters -> exactly-once sink.  Returns the started query;
+    caller drives it (processAllAvailable in tests) and can kill/restart with
+    the same checkpoint_dir to prove resume."""
+    from dataflow_spark.operators.filters import keep_n_tok_range
+
+    stream = file_stream_source(spark, corpus_dir, max_files_per_trigger)
+    deduped = streaming_exact_dedup(stream, watermark_delay, n_shards)
+    filtered = deduped.where(keep_n_tok_range(1, 10**9))
+    for cond in filters or []:
+        filtered = filtered.where(cond)
+    sink = idempotent_parquet_sink(
+        out_dir, metrics_path=os.path.join(out_dir, "_metrics.jsonl")
+    )
+    return (
+        filtered.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,142 @@
+"""Dedup parity: exact first-seen, CCNet bit-truncated, MinHash-LSH cluster,
+SimHash, n-gram segment — vs independent oracles; token-array equality on
+survivors (the north-star invariant)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataflow_spark.operators import dedup
+from tests.fixtures import make_docs, make_token_docs
+from tests.oracle import dedup_oracle
+
+TOKEN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("doc_seq", T.LongType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def test_exact_dedup_first_seen(spark):
+    rows = make_docs(n=200, dup_frac=0.3)
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    out = dedup.exact_dedup(df, keys=("text",))
+    got = sorted(r["doc_seq"] for r in out.select("doc_seq").collect())
+    want = dedup_oracle.exact_dedup_first_seen(rows)
+    assert got == want
+
+
+def test_exact_dedup_token_equality(spark):
+    """Survivors' token arrays are byte-identical to the oracle's —
+    token-array equality invariant (BASELINE.json input_hint)."""
+    rows = make_token_docs(n=300, dup_frac=0.25, near_frac=0.0)
+    tagged = spark.createDataFrame(rows, TOKEN_SCHEMA).withColumn("_th", dedup.token_hash())
+    survivors = dedup.exact_dedup(tagged, hash_col="_th").drop("_th")
+    got = {r["doc_seq"]: list(r["tokens"]) for r in survivors.collect()}
+    seen, want = set(), {}
+    for (_, seq, toks, _, _) in rows:
+        key = tuple(toks)
+        if key not in seen:
+            seen.add(key)
+            want[seq] = list(toks)
+    assert got == want
+
+
+def test_exact_dedup_multi_key(spark):
+    """Multi-key dedup joins '{k}:\\n{v}' with '\\n' — reference parity
+    (hash_deduplicate_filter.py:79-80)."""
+    rows = [("a", 0, "x", "y"), ("b", 1, "x", "y"), ("c", 2, "x", "z")]
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, instruction string, output string")
+    out = dedup.exact_dedup(df, keys=("instruction", "output"))
+    assert sorted(r["doc_seq"] for r in out.collect()) == [0, 2]
+
+
+def test_ccnet_dedup_bits(spark):
+    rows = make_docs(n=150, dup_frac=0.3)
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    out = dedup.ccnet_dedup(df, key="text", bits=64)
+    got = sorted(r["doc_seq"] for r in out.select("doc_seq").collect())
+    # 64-bit sha1 prefix: no collisions at this scale, equals exact dedup
+    import hashlib
+    seen, want = set(), []
+    for (_, seq, text, _) in rows:
+        h = hashlib.sha1(text.encode()).hexdigest()[:16]
+        if h not in seen:
+            seen.add(h)
+            want.append(seq)
+    assert got == want
+
+
+def test_minhash_dedup_cluster_parity(spark):
+    """MinHash-LSH survivors == oracle union-find on identical band hashes."""
+    rows = make_token_docs(n=250, dup_frac=0.1, near_frac=0.1)
+    df = spark.createDataFrame(rows, TOKEN_SCHEMA)
+    out = dedup.minhash_dedup(df, use_tokens=True, token_ngram=3, bands=16, num_perm=128)
+    got = sorted(r["doc_seq"] for r in out.select("doc_seq").collect())
+
+    # oracle: same shingle hashing pulled from the JVM, independent clustering
+    from dataflow_spark.functions.text import ngram_strings
+    sh = df.select(
+        "doc_seq",
+        F.transform(ngram_strings(F.col("tokens"), 3, ","), lambda g: F.xxhash64(g)).alias("sh"),
+    ).collect()
+    seqs = [r["doc_seq"] for r in sh]
+    hashes = [r["sh"] for r in sh]
+    want = dedup_oracle.minhash_cluster_survivors(seqs, hashes, num_perm=128, bands=16)
+    assert got == want
+    # sanity: planted exact+near dups actually got removed
+    assert len(got) < len(rows)
+
+
+def test_minhash_near_dups_detected(spark):
+    """A doc with 5% token edits of another must land in the same cluster."""
+    base = list(range(100, 400))
+    near = list(base)
+    near[5] = 7
+    near[100] = 9
+    rows = [
+        ("a", 0, base, len(base), "cc"),
+        ("b", 1, near, len(near), "cc"),
+        ("c", 2, list(range(1000, 1200)), 200, "cc"),
+    ]
+    df = spark.createDataFrame(rows, TOKEN_SCHEMA)
+    out = dedup.minhash_dedup(df, use_tokens=True, token_ngram=3, bands=16)
+    got = sorted(r["doc_seq"] for r in out.select("doc_seq").collect())
+    assert got == [0, 2]
+
+
+def test_simhash_dedup_parity(spark):
+    rows = make_docs(n=120, dup_frac=0.25)
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    out = dedup.simhash_dedup(df, key="text", threshold=0.9)
+    got = sorted(r["doc_seq"] for r in out.select("doc_seq").collect())
+
+    wh = df.select(
+        "doc_seq",
+        F.transform(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""),
+            lambda w: F.xxhash64(w),
+        ).alias("wh"),
+    ).collect()
+    want = dedup_oracle.simhash_cluster_survivors(
+        [r["doc_seq"] for r in wh], [r["wh"] for r in wh], threshold=0.9
+    )
+    assert got == want
+
+
+def test_ngramhash_dedup(spark):
+    rows = make_docs(n=150, dup_frac=0.3)
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    out = dedup.ngramhash_dedup(df, key="text", n_gram=3, diff_size=3)
+    got = sorted(r["doc_seq"] for r in out.select("doc_seq").collect())
+    # exact duplicates share all 3 segments -> must be collapsed
+    texts = {}
+    expect_drop = set()
+    for (_, seq, text, _) in rows:
+        if text in texts and len(text) >= 3:
+            expect_drop.add(seq)
+        else:
+            texts.setdefault(text, seq)
+    assert expect_drop.isdisjoint(got)
+    assert set(texts.values()) <= set(got) | expect_drop
