@@ -92,8 +92,13 @@ def _dedup_fn(
         return
     (seen_list,) = state.get if state.exists else ([],)
     seen = set(seen_list or [])
+    max_ev_ms = 0
     for pdf in pdf_iter:
         pdf = pdf.sort_values("doc_seq")
+        if len(pdf):
+            max_ev_ms = max(
+                max_ev_ms, int(pdf["event_time"].max().timestamp() * 1000)
+            )
         keep_mask = []
         for h in pdf["_th"]:
             h = int(h)
@@ -107,8 +112,12 @@ def _dedup_fn(
             out = out.assign(_seen_total=len(seen))
             yield out
     state.update((list(seen),))
-    # TTL: state survives one hour of event time past the watermark
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600 * 1000)
+    # TTL: one hour of EVENT time past the newest row this shard has seen.
+    # (Not the current watermark — on the first batch the watermark is still
+    # epoch-0, and a watermark-relative timeout would expire the whole state
+    # the moment the watermark jumps forward, e.g. across a restart.)
+    ttl_base = max(state.getCurrentWatermarkMs(), max_ev_ms)
+    state.setTimeoutTimestamp(ttl_base + 3600 * 1000)
 
 
 def streaming_exact_dedup(
@@ -288,12 +297,12 @@ def idempotent_parquet_sink(out_dir: str, metrics_path: str | None = None):
     batchId is recorded as a snapshot property (commit-level idempotence)."""
 
     def write(df: DataFrame, batch_id: int):
+        # Hive-style batch_id=N dir: the lineage column materializes from the
+        # partition path on read, and dir existence is the idempotence marker.
         batch_dir = os.path.join(out_dir, f"batch_id={batch_id}")
         if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
             return  # replayed batch — already durable
-        out = df.withColumn("part_id", F.spark_partition_id()).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
+        out = df.withColumn("part_id", F.spark_partition_id())
         out.write.mode("overwrite").parquet(batch_dir)
         if metrics_path:
             written = df.sparkSession.read.parquet(batch_dir)
