@@ -698,3 +698,341 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# extended coverage (round 1 continuation): more filters/refiners, unigram
+# perplexity, bench accuracy, multimodal metadata, sliding windows, ANN/IVF,
+# coreset + dataset-diversity, relational demos
+# ---------------------------------------------------------------------------
+
+_SPECIAL_SQL = " AND ".join(
+    "NOT regexp_matches(text, '" + p.replace("\\", "\\").replace("'", "''") + "')"
+    for p in _flt._SPECIAL_CHAR_RES
+)
+_filter_query("filter_special_character", _flt.keep_special_character)
+_ORACLES["filter_special_character"] = f"SELECT doc_id FROM documents WHERE {_SPECIAL_SQL}"
+
+_BULLETS_SQL = "[" + ",".join(f"'{b}'" for b in _flt._BULLETS) + "]"
+_filter_query("filter_line_start_bullet", _flt.keep_line_start_bullet, threshold=0.5)
+_ORACLES["filter_line_start_bullet"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+      FROM documents
+    )
+    SELECT doc_id FROM t
+    WHERE len(ls) = 0 OR
+      len(list_filter(ls, l -> list_contains({_BULLETS_SQL}, substr(ltrim(l), 1, 1))))::DOUBLE
+        / len(ls) <= 0.5
+"""
+
+_filter_query("filter_line_javascript", _flt.keep_line_javascript, threshold=3)
+_ORACLES["filter_line_javascript"] = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+      FROM documents
+    )
+    SELECT doc_id FROM t
+    WHERE len(ls) <= 3
+       OR len(list_filter(ls, l -> NOT contains(lower(l), 'javascript'))) >= 3
+"""
+
+_BLOCK = ("free", "click", "winner", "the")
+_BLOCK_SQL = "[" + ",".join(f"'{w}'" for w in _BLOCK) + "]"
+_filter_query("filter_blocklist", _flt.keep_blocklist, blocklist=_BLOCK, threshold=5)
+_ORACLES["filter_blocklist"] = rf"""
+    SELECT doc_id FROM documents
+    WHERE len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                          w -> list_contains({_BLOCK_SQL}, w))) <= 5
+"""
+
+_refine_query("refine_remove_emoji", _ref.remove_emoji)
+_ORACLES["refine_remove_emoji"] = (
+    "SELECT doc_id, regexp_replace(text, '"
+    + _ref._EMOJI_RANGES.replace("'", "''")
+    + "', '', 'g') AS text_out FROM documents"
+)
+
+_refine_query("refine_remove_image_refs", _ref.remove_image_refs)
+_ORACLES["refine_remove_image_refs"] = r"""
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(text, '!\[[^\]]*\]\([^)]*\)', '', 'g'),
+        '(?i)\b\S+\.(?:png|jpe?g|gif|bmp|webp)\b', '', 'g') AS text_out
+    FROM documents
+"""
+
+_refine_query("refine_remove_reference", _ref.remove_reference)
+_ORACLES["refine_remove_reference"] = r"""
+    SELECT doc_id, regexp_replace(text, '\[\d{1,3}\]', '', 'g') AS text_out
+    FROM documents
+"""
+
+
+@q(
+    "eval_perplexity_unigram",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+      FROM documents
+    ),
+    cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT count(*) AS n FROM w),
+    perdoc AS (
+      SELECT w.doc_id, avg(ln(cnt.c::DOUBLE / tot.n)) AS avg_lp
+      FROM w JOIN cnt USING (word) CROSS JOIN tot
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id, round(exp(-perdoc.avg_lp), 4) AS ppl
+    FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+    """,
+)
+def eval_perplexity_unigram(spark, sf_dir):
+    """Perplexity proxy (PerplexitySampleEvaluator shape,
+    perplexity_sample_evaluator.py:10-80) with a corpus-fit word-unigram LM —
+    pure JVM: explode words -> count join -> per-doc mean log-prob.  The
+    token-array variant (broadcast-dict pandas UDF) is pytest-verified; this
+    word variant is the cross-engine-checkable one."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)).alias("word")
+    )
+    cnt = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = w.count()
+    perdoc = (
+        w.join(cnt, "word")
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c").cast("double") / F.lit(float(tot)))).alias("avg_lp"))
+    )
+    return docs.select("doc_id").join(perdoc, "doc_id", "left").select(
+        "doc_id", F.round(F.exp(-F.col("avg_lp")), 4).alias("ppl")
+    )
+
+
+@q(
+    "eval_bench_accuracy_langid",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+        len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+        greatest(length(text), 1) AS total,
+        len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                        w -> list_contains({_STOPLIST_SQL}, w))) AS sw
+      FROM documents
+    ),
+    p AS (
+      SELECT source, lang,
+        CASE WHEN cjk::DOUBLE / total > 0.05 THEN 'zh'
+             WHEN sw >= 2 THEN 'en'
+             ELSE 'other' END AS lang_pred
+      FROM t
+    )
+    SELECT source, round(avg(CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           count(*) AS n
+    FROM p GROUP BY source
+    """,
+)
+def eval_bench_accuracy_langid(spark, sf_dir):
+    """BenchDatasetEvaluator (core_text/eval): exact-match accuracy of the
+    langid heuristic against the ground-truth lang column, per source."""
+    from dataflow_spark.operators.evaluators import bench_accuracy
+
+    df = _docs(spark, sf_dir).withColumn("lang_pred", _ev.langid_heuristic("text"))
+    return bench_accuracy(df, "lang_pred", "lang", group_key="source")
+
+
+@q(
+    "media_metadata",
+    """
+    SELECT doc_id, octet_length(encode(text))::INT AS n_bytes, sha256(text) AS sha
+    FROM documents
+    """,
+)
+def media_metadata(spark, sf_dir):
+    """Multimodal metadata plumbing (operators/multimodal.py): binary payload
+    column + typed metadata struct — payload synthesized as utf-8 bytes of
+    the text (deterministic, cross-engine)."""
+    from dataflow_spark.operators.multimodal import attach_media_meta
+
+    df = _docs(spark, sf_dir).withColumn("payload", F.encode("text", "UTF-8"))
+    out = attach_media_meta(df, kind="image", fmt="raw")
+    return out.select("doc_id", F.col("media.n_bytes").alias("n_bytes"), F.col("media.sha").alias("sha"))
+
+
+@q("media_image_features")
+def media_image_features(spark, sf_dir):
+    """Image decode + feature extraction via mapInPandas with the
+    deterministic fake decoder (real codec not in sandbox — multimodal.py) —
+    rows-only check; numpy parity in tests/test_operators_ext.py."""
+    from dataflow_spark.operators.multimodal import image_features
+
+    df = _docs(spark, sf_dir).withColumn("payload", F.encode("text", "UTF-8"))
+    out = image_features(df, fake=True)
+    return out.select(
+        "doc_id", "height", "width", F.round("brightness", 4).alias("brightness")
+    )
+
+
+@q(
+    "events_sliding_window",
+    """
+    WITH e AS (
+      SELECT event_type, value, ts,
+             unnest([0, 1]) AS k,
+             time_bucket(INTERVAL '30 minutes', ts) AS b
+      FROM events
+    )
+    SELECT epoch(b - k * INTERVAL '30 minutes')::BIGINT AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM e GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding event-time window (1h window, 30m slide) — every event lands
+    in exactly two windows; the streaming variant is windowed_source_stats
+    with slide (streaming/pipeline.py)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "events_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark, sf_dir):
+    """Distinct aggregation per group (two-phase under AQE; at scale the
+    approx_count_distinct variant avoids the exact-distinct shuffle)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q("ann_ivf_top5")
+def ann_ivf_top5(spark, sf_dir):
+    """IVF ANN (similarity.py): deterministic coarse quantizer (seeded sample
+    + 1 Lloyd step), nprobe=4 of 8 cells — rows-only (recall vs brute force
+    asserted in tests/test_operators_ext.py)."""
+    from dataflow_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8, lloyd_iters=1)
+    return ivf_topk(emb, qs, cents, k=5, nprobe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+@q("emb_kcenter_coreset")
+def emb_kcenter_coreset(spark, sf_dir):
+    """KCenterGreedyFilter (kcentergreedy_filter.py:14-40): greedy k-center
+    coreset ids over a 100-vector slice — rows-only (numpy-oracle parity in
+    tests/test_operators_ext.py)."""
+    from dataflow_spark.operators.similarity import kcenter_greedy
+
+    small = _emb(spark, sf_dir).where(F.col("vec_id") < 100)
+    chosen = kcenter_greedy(small, k=10)
+    return spark.createDataFrame([(int(c),) for c in chosen], ["vec_id"])
+
+
+@q("eval_vendi_diversity")
+def eval_vendi_diversity(spark, sf_dir):
+    """VendiDatasetEvaluator (vendi_dataset_evaluator.py): dataset-diversity
+    scalar via distributed d×d Gram + driver eigendecomposition — rows-only
+    (full-matrix numpy parity in tests/test_operators_ext.py)."""
+    from dataflow_spark.operators.evaluators import vendi_score
+
+    v = vendi_score(_emb(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], ["vendi_score"])
+
+
+# --- relational demos (generic Stage/PandasOperator surface over TPC-H) -----
+
+
+@q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """Generic-transform surface demo (PandasOperator analogue,
+    pandas_operator.py:8-52): TPC-H Q1 pricing summary over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_top_orders",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def tpch_q3_top_orders(spark, sf_dir):
+    """Join + agg + top-k demo: TPC-H Q3 shape with a broadcast customer dim
+    (the small-side broadcast the 100 TB plan wants)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )

@@ -387,3 +387,153 @@ def langid_eval_stage(input_key: str = "text", output_key: str = "lang_pred") ->
         (output_key,),
         "eval",
     )
+
+
+# ---------------------------------------------------------------------------
+# CIDEr-D lite (CiderSampleEvaluator, general_text/eval/cider/cider.py)
+# ---------------------------------------------------------------------------
+
+
+def cider_idf(df: DataFrame, ref_key: str, max_n: int = 4) -> dict[str, float]:
+    """Corpus document-frequency for reference n-grams, computed distributed:
+    explode n-grams -> distinct per doc -> groupBy count.  Returns
+    log(N / df) per n-gram (the reference's CIDEr IDF, cider.py) as a dict to
+    broadcast into the scoring UDF."""
+    from dataflow_spark.functions.text import ngram_strings
+
+    n_docs = df.count()
+    words = F.filter(F.split(F.lower(F.col(ref_key)), r"\s+"), lambda w: w != "")
+    grams_all = None
+    for n in range(1, max_n + 1):
+        g = ngram_strings(words, n, " ")
+        grams_all = g if grams_all is None else F.concat(grams_all, g)
+    dfreq = (
+        df.select(F.explode(F.array_distinct(grams_all)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    import math
+
+    return {r["g"]: math.log(max(n_docs, 1) / r["df"]) for r in dfreq}
+
+
+def cider_udf(idf: dict[str, float], max_n: int = 4, sigma: float = 6.0):
+    """pandas_udf(hyp_text, ref_text) -> CIDEr-D-style score: mean over n of
+    the TF-IDF cosine between hyp and ref n-gram vectors with the length
+    gaussian penalty (cider/cider_scorer.py semantics, single-reference)."""
+    import math
+
+    from collections import Counter
+
+    def grams(text: str, n: int):
+        ws = [w for w in text.lower().split() if w]
+        return Counter(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+
+    @pandas_udf(T.DoubleType())
+    def udf(hyp: pd.Series, ref: pd.Series) -> pd.Series:
+        out = np.zeros(len(hyp))
+        for i, (h, r) in enumerate(zip(hyp, ref)):
+            if not h or not r:
+                out[i] = 0.0
+                continue
+            score = 0.0
+            lh = len(h.split())
+            lr = len(r.split())
+            delta = float(lh - lr)
+            for n in range(1, max_n + 1):
+                gh, gr = grams(h, n), grams(r, n)
+                if not gh or not gr:
+                    continue
+                vh = {g: c * idf.get(g, 0.0) for g, c in gh.items()}
+                vr = {g: c * idf.get(g, 0.0) for g, c in gr.items()}
+                num = sum(min(vh[g], vr.get(g, 0.0)) * vr.get(g, 0.0) for g in vh)
+                nh = math.sqrt(sum(x * x for x in vh.values()))
+                nr = math.sqrt(sum(x * x for x in vr.values()))
+                if nh > 0 and nr > 0:
+                    score += (num / (nh * nr)) * math.exp(
+                        -(delta * delta) / (2 * sigma * sigma)
+                    )
+            out[i] = 10.0 * score / max_n
+        return pd.Series(out)
+
+    return udf
+
+
+@register("CiderSampleEvaluator")
+def cider_eval_stage(hyp_key: str, ref_key: str, output_key: str = "CiderScore", max_n: int = 4) -> Stage:
+    def fn(df: DataFrame) -> DataFrame:
+        idf = cider_idf(df, ref_key, max_n)
+        return df.withColumn(output_key, cider_udf(idf, max_n)(F.col(hyp_key), F.col(ref_key)))
+
+    return Stage("CiderSampleEvaluator", fn, (hyp_key, ref_key), (output_key,), "eval")
+
+
+# ---------------------------------------------------------------------------
+# Vendi score (VendiDatasetEvaluator) — dataset-level diversity scalar
+# ---------------------------------------------------------------------------
+
+
+def vendi_score(df: DataFrame, vec_col: str = "embedding") -> float:
+    """VendiDatasetEvaluator (general_text/eval/vendi_dataset_evaluator.py):
+    exp(Shannon entropy of the eigenvalues of K/n) for the cosine-kernel Gram
+    matrix K.  The n×n matrix is impossible at scale, but eig(K/n) equals
+    eig(Xn^T Xn / n) where Xn is the row-normalized embedding matrix — a d×d
+    problem.  The d×d Gram accumulates distributed via mapInPandas partial
+    sums (one pass, one tiny collect); the eigendecomposition is driver-side
+    on d×d."""
+    from collections.abc import Iterator
+
+    d = len(df.select(vec_col).first()[0])
+    part_schema = T.StructType([T.StructField("g", T.ArrayType(T.DoubleType()))])
+
+    def partial_gram(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((d, d))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            acc += Xn.T @ Xn
+        yield pd.DataFrame({"g": [acc.ravel().tolist()]})
+
+    parts = df.select(vec_col).mapInPandas(partial_gram, part_schema).collect()
+    G = np.zeros((d, d))
+    for r in parts:
+        G += np.asarray(r["g"]).reshape(d, d)
+    n = df.count()
+    lam = np.linalg.eigvalsh(G / n)
+    lam = np.clip(lam, 0, None)
+    lam = lam[lam > 1e-12]
+    ent = -(lam * np.log(lam)).sum()
+    return float(np.exp(ent))
+
+
+# ---------------------------------------------------------------------------
+# benchmark accuracy (BenchDatasetEvaluator, core_text/eval)
+# ---------------------------------------------------------------------------
+
+
+def bench_accuracy(
+    df: DataFrame, pred_key: str, gt_key: str, group_key: str | None = None
+) -> DataFrame:
+    """BenchDatasetEvaluator: exact-match accuracy of predictions vs ground
+    truth, optionally per group — groupBy().agg(avg(match))."""
+    match = (F.col(pred_key) == F.col(gt_key)).cast("double")
+    if group_key:
+        return df.groupBy(group_key).agg(
+            F.round(F.avg(match), 6).alias("accuracy"),
+            F.count("*").alias("n"),
+        )
+    return df.agg(F.round(F.avg(match), 6).alias("accuracy"), F.count("*").alias("n"))
+
+
+@register("BenchDatasetEvaluator")
+def bench_eval_stage(pred_key: str, gt_key: str, group_key: str | None = None) -> Stage:
+    return Stage(
+        "BenchDatasetEvaluator",
+        lambda df: bench_accuracy(df, pred_key, gt_key, group_key),
+        (pred_key, gt_key) + ((group_key,) if group_key else ()),
+        ("accuracy", "n"),
+        "eval",
+    )

@@ -169,3 +169,187 @@ def sem_dedup_stage(id_col: str = "vec_id", vec_col: str = "embedding", eps: flo
         (),
         "filter",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path beyond sign-LSH
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_iters: int = 2,
+    sample_fraction: float | None = None,
+    seed: int = 11,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids are a hash-ordered
+    sample of corpus vectors, refined by ``lloyd_iters`` distributed k-means
+    steps (assign via the same pandas-UDF matmul as search, re-center via
+    groupBy mean over exploded dimensions — both single-shuffle jobs).  At
+    10^12 vectors train on a sample (``sample_fraction``); the assignment
+    scan is the only full pass."""
+    src = corpus
+    if sample_fraction:
+        src = corpus.sample(sample_fraction, seed=seed)
+    seeds = (
+        src.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")) + seed, F.lit(1 << 31)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r[1] for r in seeds], dtype=np.float64)
+    for _ in range(lloyd_iters):
+        assigned = src.withColumn(
+            "_c", ivf_assign_udf(cents.tolist())(F.col(vec_col))
+        )
+        sums = (
+            assigned.select("_c", F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_x"))
+            .groupBy("_c", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        new = cents.copy()
+        by_c: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_c.setdefault(r["_c"], {})[r["_d"]] = (r["_s"], r["_n"])
+        for c, dims in by_c.items():
+            for d, (s, n) in dims.items():
+                new[c, d] = s / n
+        cents = new
+    return cents.tolist()
+
+
+def ivf_assign_udf(centroids: list[list[float]], nprobe: int = 1):
+    """pandas_udf: embedding -> nearest-centroid id (nprobe=1) or the
+    ``nprobe`` nearest centroid ids.  One numpy matmul per Arrow batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    if nprobe == 1:
+
+        @pandas_udf(T.IntegerType())
+        def udf(vecs: pd.Series) -> pd.Series:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(Xn @ Cn.T, axis=1).astype(np.int32))
+
+        return udf
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def udf_multi(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Cn.T
+        idx = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return udf_multi
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: corpus rows carry their coarse cell; queries probe their
+    ``nprobe`` nearest cells; exact cosine re-rank inside probed cells.
+    The corpus-side assignment is computed once (in production: stored as a
+    partition column of the Iceberg table, so a probe prunes partitions)."""
+    cb = corpus.withColumn("_cell", ivf_assign_udf(centroids)(F.col(vec_col)))
+    qb = (
+        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"))
+        .withColumn("_cells", ivf_assign_udf(centroids, nprobe=nprobe)(F.col("_qvec")))
+        .select("_qid", "_qvec", F.explode("_cells").alias("_cell"))
+    )
+    scored = cb.join(F.broadcast(qb), "_cell").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (KCenterGreedyFilter)
+# ---------------------------------------------------------------------------
+
+
+def _dist_to_center_udf(center: list[float]):
+    c = np.asarray(center, dtype=np.float64)
+
+    @pandas_udf(T.DoubleType())
+    def udf(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(np.linalg.norm(X - c[None, :], axis=1))
+
+    return udf
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_id=None,
+) -> list:
+    """KCenterGreedyFilter (core_text/filter/kcentergreedy_filter.py:14-40):
+    greedy k-center selection.  The reference runs sklearn on an in-memory
+    matrix; here each round is one distributed pass: update min-distance to
+    the newest center (vectorized UDF), ``max_by`` to pick the farthest row.
+    k rounds => k scans — fine for coreset-scale k (hundreds); the selected
+    ids then drive a semi-join filter.  Returns the selected id list."""
+    first = (
+        df.select(id_col).orderBy(F.asc(id_col)).first()[0]
+        if start_id is None
+        else start_id
+    )
+    chosen = [first]
+    center = df.where(F.col(id_col) == first).select(vec_col).first()[0]
+    cur = df.select(
+        id_col, vec_col, _dist_to_center_udf(list(center))(F.col(vec_col)).alias("_mind")
+    ).localCheckpoint(eager=True)
+    for _ in range(k - 1):
+        far = cur.select(F.max_by(F.struct(id_col, vec_col), "_mind").alias("s")).first()["s"]
+        chosen.append(far[0])
+        cur = cur.select(
+            id_col,
+            vec_col,
+            F.least(
+                F.col("_mind"), _dist_to_center_udf(list(far[1]))(F.col(vec_col))
+            ).alias("_mind"),
+        ).localCheckpoint(eager=True)
+    return chosen
+
+
+def kcenter_filter(
+    df: DataFrame, sampling_ratio: float = 0.1, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    n = df.count()
+    k = max(1, int(n * sampling_ratio))
+    chosen = kcenter_greedy(df, k, id_col, vec_col)
+    sel = df.sparkSession.createDataFrame([(c,) for c in chosen], [id_col])
+    return df.join(F.broadcast(sel), id_col, "left_semi")
+
+
+@register("KCenterGreedyFilter")
+def kcenter_stage(sampling_ratio: float = 0.1, id_col: str = "vec_id", vec_col: str = "embedding") -> Stage:
+    return Stage(
+        "KCenterGreedyFilter",
+        lambda df: kcenter_filter(df, sampling_ratio, id_col, vec_col),
+        (id_col, vec_col),
+        (),
+        "filter",
+    )

@@ -1,0 +1,150 @@
+"""Sources & sinks — the FileStorage/MyScaleDBStorage surface, Spark-first.
+
+The reference reads/writes json/jsonl/csv/parquet/pickle/xlsx via pandas
+(dataflow/utils/storage.py:566-698, format dispatch 683-696) plus hub
+prefixes ``hf:``/``ms:`` (storage.py:595-621) and a ClickHouse table
+(storage.py:753-929).  Here each becomes a Spark reader/writer:
+
+* jsonl/json/csv/parquet -> native distributed sources (predicate pushdown &
+  column pruning for parquet);
+* pickle/xlsx -> dropped (non-goals; single-process formats);
+* ``hf:``/``ms:`` -> require network + datasets lib, stubbed behind import-try
+  with the parsed spec returned for callers that have the lib;
+* ClickHouse/MyScale -> JDBC reader/writer stub (jar not in sandbox) with the
+  same system-column contract (pipeline_id/task_id/raw_data_id lineage).
+
+``read_any``/``write_any`` dispatch on extension exactly like the reference's
+cache_type dispatch, so pipeline configs port 1:1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_READERS = {
+    "jsonl": lambda sp, p, schema: _json(sp, p, schema),
+    "json": lambda sp, p, schema: _json(sp, p, schema),
+    "csv": lambda sp, p, schema: sp.read.option("header", "true")
+    .schema(schema)
+    .csv(p)
+    if schema
+    else sp.read.option("header", "true").option("inferSchema", "true").csv(p),
+    "parquet": lambda sp, p, schema: sp.read.parquet(p),
+}
+
+
+def _json(spark: SparkSession, path: str, schema):
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)  # Spark's json source reads JSONL natively
+
+
+def read_any(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Extension-dispatch read (storage.py:683-696 analogue).  ``hf:``/``ms:``
+    prefixes raise with guidance unless the datasets lib is importable."""
+    if path.startswith(("hf:", "ms:")):
+        return read_hub(spark, path)
+    ext = os.path.splitext(path)[1].lstrip(".").lower() or "parquet"
+    if ext not in _READERS:
+        raise ValueError(
+            f"unsupported format {ext!r} (reference formats pickle/xlsx are "
+            "single-process non-goals; use jsonl/json/csv/parquet)"
+        )
+    return _READERS[ext](spark, path, schema)
+
+
+def write_any(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    ext = os.path.splitext(path)[1].lstrip(".").lower() or "parquet"
+    w = df.write.mode(mode)
+    if ext in ("jsonl", "json"):
+        w.json(path)
+    elif ext == "csv":
+        w.option("header", "true").csv(path)
+    elif ext == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported format {ext!r}")
+
+
+def parse_hub_spec(path: str) -> dict[str, str | None]:
+    """Parse ``hf:dataset[:config][:split]`` / ``ms:dataset[:split]``
+    (storage.py:595-621 semantics)."""
+    scheme, _, rest = path.partition(":")
+    parts = rest.split(":")
+    spec = {"hub": scheme, "dataset": parts[0], "config": None, "split": None}
+    if scheme == "hf":
+        if len(parts) == 2:
+            spec["split"] = parts[1]
+        elif len(parts) >= 3:
+            spec["config"], spec["split"] = parts[1], parts[2]
+    else:
+        if len(parts) >= 2:
+            spec["split"] = parts[1]
+    return spec
+
+
+def read_hub(spark: SparkSession, path: str) -> DataFrame:
+    """HuggingFace/ModelScope hub source.  The datasets lib + network are not
+    in this sandbox; with the lib present this materializes the split to Arrow
+    and parallelizes it."""
+    spec = parse_hub_spec(path)
+    try:
+        import datasets  # type: ignore  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            f"hub source {path!r} parsed as {spec} but the `datasets` library "
+            "is not installed in this environment"
+        ) from e
+    ds = datasets.load_dataset(
+        spec["dataset"], spec["config"], split=spec["split"] or "train"
+    )
+    return spark.createDataFrame(ds.to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse/MyScale-style system-column table (JDBC)
+# ---------------------------------------------------------------------------
+
+SYSTEM_COLUMNS = ("pipeline_id", "task_id", "raw_data_id")
+
+
+def with_lineage(
+    df: DataFrame, pipeline_id: str, task_id: str, id_col: str = "doc_seq"
+) -> DataFrame:
+    """Attach the MyScaleDBStorage system columns (storage.py:880-901):
+    pipeline/task lineage + stable per-row id."""
+    return (
+        df.withColumn("pipeline_id", F.lit(pipeline_id))
+        .withColumn("task_id", F.lit(task_id))
+        .withColumn("raw_data_id", F.col(id_col).cast("long"))
+    )
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    options: dict[str, str] | None = None,
+) -> None:
+    """JDBC writer (ClickHouse/MyScale target).  Driver jar not in sandbox —
+    raises with the exact spark-submit flag needed; the DataFrame-side
+    contract (lineage columns, append semantics) is what's tested."""
+    try:
+        w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
+        w.mode(mode).save()
+    except Exception as e:  # pragma: no cover - jar absent in sandbox
+        raise NotImplementedError(
+            "JDBC driver jar not on classpath; launch with "
+            "spark-submit --jars clickhouse-jdbc.jar (or add "
+            "spark.jars.packages=com.clickhouse:clickhouse-jdbc)"
+        ) from e

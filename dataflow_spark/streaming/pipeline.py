@@ -306,9 +306,11 @@ def idempotent_parquet_sink(out_dir: str, metrics_path: str | None = None):
         out.write.mode("overwrite").parquet(batch_dir)
         if metrics_path:
             written = df.sparkSession.read.parquet(batch_dir)
+            tok = (
+                F.sum("n_tok") if "n_tok" in written.columns else F.lit(0)
+            ).alias("tokens")
             stats = written.groupBy("part_id").agg(
-                F.count("*").alias("rows"),
-                F.sum("n_tok").alias("tokens"),
+                F.count("*").alias("rows"), tok
             ).collect()
             rec = {
                 "batch_id": batch_id,
@@ -352,6 +354,194 @@ def run_dedup_filter_stream(
     )
     return (
         filtered.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful MinHash-LSH near-dedup (banded hash-aggregate in state)
+# ---------------------------------------------------------------------------
+
+_BAND_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("doc_seq", T.LongType()),
+        T.StructField("matched", T.IntegerType()),
+    ]
+)
+_BAND_STATE_SCHEMA = T.StructType(
+    [T.StructField("band_hashes", T.ArrayType(T.LongType()))]
+)
+
+
+def _band_state_fn(key, pdf_iter, state):
+    """Per band-shard state = set of band hashes seen.  Emits one row per
+    (doc, band) with matched=1 iff the band hash was already present (from an
+    earlier doc — rows are processed in doc_seq order within the batch)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (seen_list,) = state.get if state.exists else ([],)
+    seen = set(seen_list or [])
+    max_ev_ms = 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("doc_seq")
+        if len(pdf):
+            max_ev_ms = max(max_ev_ms, int(pdf["event_time"].max().timestamp() * 1000))
+        matched = []
+        for bh in pdf["band_hash"]:
+            bh = int(bh)
+            if bh in seen:
+                matched.append(1)
+            else:
+                seen.add(bh)
+                matched.append(0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "doc_seq": pdf["doc_seq"],
+                "matched": matched,
+            }
+        )
+    state.update((list(seen),))
+    ttl_base = max(state.getCurrentWatermarkMs(), max_ev_ms)
+    state.setTimeoutTimestamp(ttl_base + 3600 * 1000)
+
+
+def streaming_minhash_dedup_decisions(
+    stream: DataFrame,
+    watermark_delay: str = "10 minutes",
+    bands: int = 16,
+    num_perm: int = 128,
+    token_ngram: int = 3,
+    n_shards: int = N_SHARDS_DEFAULT,
+) -> DataFrame:
+    """North-star stateful near-dedup: MinHash band hashes held in the state
+    store, keyed by (band_id, hash-shard).  Emits per-doc ``is_dup`` decisions
+    (dup ⇔ ANY band matched an earlier doc's band).
+
+    Approximation contract vs the reference's sequential query-then-insert
+    LSH (minhash_deduplicate_filter.py:66-83): bands of a doc that is itself
+    judged duplicate stay in state (the sequential scan would not insert
+    them), so dedup is at-least-as-aggressive; exact within the watermark
+    horizon otherwise.  The doc-level ANY-band vote is a plain per-microbatch
+    aggregation — do it in foreachBatch (see run_near_dedup_stream) so only
+    the band memory is long-lived state."""
+    from dataflow_spark.functions.text import ngram_strings
+    from dataflow_spark.operators.dedup import minhash_band_udf
+
+    shingle_hashes = F.transform(
+        ngram_strings(F.col("tokens"), token_ngram, ","), lambda g: F.xxhash64(g)
+    )
+    band_udf = minhash_band_udf(num_perm, bands)
+    banded = (
+        stream.withColumn("_bands", band_udf(shingle_hashes))
+        .select(
+            "doc_id",
+            "doc_seq",
+            "event_time",
+            F.posexplode("_bands").alias("band_id", "band_hash"),
+        )
+        .withColumn(
+            "shard",
+            (F.col("band_id") * n_shards + F.pmod(F.col("band_hash"), F.lit(n_shards))).cast("int"),
+        )
+        .withWatermark("event_time", watermark_delay)
+    )
+    return banded.groupBy("shard").applyInPandasWithState(
+        _band_state_fn,
+        outputStructType=_BAND_OUT_SCHEMA,
+        stateStructType=_BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_near_dedup_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+    bands: int = 16,
+    n_shards: int = 8,
+):
+    """Streaming near-dedup end to end: band decisions (stateful) ->
+    per-microbatch doc vote (any band matched => dup) -> survivors joined
+    back to the batch's rows -> exactly-once sink.  The join is
+    batch-local (foreachBatch), so no second long-lived state."""
+    survivors_sink = idempotent_parquet_sink(
+        out_dir, metrics_path=os.path.join(out_dir, "_metrics.jsonl")
+    )
+
+    def sink(decisions: DataFrame, batch_id: int):
+        votes = decisions.groupBy("doc_id", "doc_seq").agg(
+            F.max("matched").alias("is_dup")
+        )
+        keep = votes.where(F.col("is_dup") == 0).select("doc_id", "doc_seq")
+        survivors_sink(keep, batch_id)
+
+    stream = file_stream_source(spark, corpus_dir, max_files_per_trigger)
+    decisions = streaming_minhash_dedup_decisions(
+        stream, watermark_delay, bands=bands, n_shards=n_shards
+    )
+    return (
+        decisions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# source-conditioned routing
+# ---------------------------------------------------------------------------
+
+
+def route_by_source(
+    spark: SparkSession,
+    stream: DataFrame,
+    routes: dict[str, list],
+    out_dir: str,
+    checkpoint_dir: str,
+    default_route: str | None = "_default",
+):
+    """Source-conditioned routing (north star): one streaming query whose
+    foreachBatch applies each route's predicate chain to its source slice and
+    appends to ``out_dir/source=<name>/batch_id=N`` — Hive layout, so
+    downstream readers partition-prune by source.  A single query (not one
+    per route) keeps one checkpoint/offset log and one pass over the data."""
+
+    def sink(df: DataFrame, batch_id: int):
+        df.persist()
+        try:
+            routed_sources = list(routes.keys())
+            for src, preds in routes.items():
+                part = df.where(F.col("source") == src)
+                for p in preds:
+                    part = part.where(p)
+                d = os.path.join(out_dir, f"source={src}", f"batch_id={batch_id}")
+                if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                    part.withColumn("part_id", F.spark_partition_id()).write.mode(
+                        "overwrite"
+                    ).parquet(d)
+            if default_route is not None:
+                rest = df.where(~F.col("source").isin(routed_sources))
+                d = os.path.join(
+                    out_dir, f"source={default_route}", f"batch_id={batch_id}"
+                )
+                if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                    rest.withColumn("part_id", F.spark_partition_id()).write.mode(
+                        "overwrite"
+                    ).parquet(d)
+        finally:
+            df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
