@@ -1036,3 +1036,72 @@ def tpch_q3_top_orders(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )
+
+
+# --- round-1 continuation: emoticon/contraction/stemming refiners, language
+# filter ---------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+_EMOT_PAT = "|".join(
+    _re.escape(e) for e in sorted(_ref._EMOTICONS, key=len, reverse=True)
+)
+_refine_query("refine_remove_emoticons", _ref.remove_emoticons)
+_ORACLES["refine_remove_emoticons"] = (
+    "SELECT doc_id, regexp_replace(text, '"
+    + _EMOT_PAT.replace("\\", "\\").replace("'", "''")
+    + "', '', 'g') AS text_out FROM documents"
+)
+
+
+def _contractions_sql() -> str:
+    expr = "text"
+    for k in sorted(_ref._CONTRACTIONS, key=len, reverse=True):
+        v = _ref._CONTRACTIONS[k]
+        anchor = r"\b" if k[0] != "'" else ""
+        pat = f"(?i){anchor}{_re.escape(k)}\\b".replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{v}', 'g')"
+    return expr
+
+
+_refine_query("refine_remove_contractions", _ref.remove_contractions)
+_ORACLES["refine_remove_contractions"] = (
+    f"SELECT doc_id, {_contractions_sql()} AS text_out FROM documents"
+)
+
+_refine_query("refine_stem_words", _ref.stem_words)
+_ORACLES["refine_stem_words"] = r"""
+    SELECT doc_id,
+      array_to_string(list_transform(regexp_extract_all(text, '\S+'),
+        w -> CASE
+          WHEN regexp_matches(w, '(?i).*ies$') THEN substr(w, 1, length(w) - 3) || 'y'
+          WHEN regexp_matches(w, '(?i).*sses$') THEN substr(w, 1, length(w) - 2)
+          WHEN regexp_matches(w, '(?i).*[^su]s$') THEN substr(w, 1, length(w) - 1)
+          ELSE w END), ' ') AS text_out
+    FROM documents
+"""
+
+
+@q(
+    "filter_language_en",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+        len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+        greatest(length(text), 1) AS total,
+        len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                        w -> list_contains({_STOPLIST_SQL}, w))) AS sw
+      FROM documents
+    )
+    SELECT doc_id FROM t
+    WHERE NOT (cjk::DOUBLE / total > 0.05) AND sw >= 2
+    """,
+)
+def filter_language_en(spark, sf_dir):
+    """LanguageFilter (language_filter.py:11-79): keep predicted-English rows
+    (heuristic scorer; same stage contract as the fasttext original)."""
+    from dataflow_spark.core.stage import get_operator
+
+    df = _docs(spark, sf_dir)
+    out = get_operator("LanguageFilter", allowed_langs=("en",)).apply(df)
+    return out.select("doc_id")

@@ -61,7 +61,11 @@ def amplified_corpus(spark, sf_dir: str, replicas: int):
 def ensure_corpus(spark) -> str:
     if not os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
         shutil.rmtree(CORPUS_DIR, ignore_errors=True)
-        amplified_corpus(spark, SF_DIR, REPLICAS).repartition(CPUS).write.mode(
+        # Fixed 64 output files regardless of this run's core count: the
+        # corpus is shared across bench runs at different parallelism, and a
+        # low-core run must not write fat files that starve a high-core run
+        # of input splits.
+        amplified_corpus(spark, SF_DIR, REPLICAS).repartition(64).write.mode(
             "overwrite"
         ).parquet(CORPUS_DIR)
     return CORPUS_DIR

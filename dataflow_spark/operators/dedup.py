@@ -133,6 +133,10 @@ def connected_components_min(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     joins labels across edges and keeps the min; converges in O(diameter)
     rounds (near-dup clusters at 0.9 threshold are tiny stars, 2-3 rounds).
     Each round is one shuffle; AQE coalesces the tail."""
+    # materialize the (usually small) edge set once — every propagation round
+    # joins against it twice, and without this the entire upstream chain
+    # (MinHash UDF, band explode, bucket join) re-executes per round
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.groupBy("a").agg(F.min("b").alias("lbl"))
@@ -145,22 +149,20 @@ def connected_components_min(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("component").alias("nbr_lbl"))
         )
+        # fold the convergence flag into the same join (no extra per-round
+        # join): _chg marks rows whose label shrank this round
         new_labels = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
-                F.least(F.col("component"), F.coalesce("nbr_lbl", F.col("component"))).alias("component"),
+                F.least(F.col("component"), F.coalesce("nbr_lbl", F.col("component"))).alias("new_component"),
+                (F.coalesce("nbr_lbl", F.col("component")) < F.col("component")).alias("_chg"),
             )
+            .withColumnRenamed("new_component", "component")
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels
@@ -209,22 +211,42 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 16, seed: int = 1):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def udf(hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                # null array -> posexplode emits nothing -> doc never pairs
-                out.append(None)
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # (num_perm, n_shingles) broadcast; mod 61-bit prime; 32-bit mask
-            phv = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-            sig = np.bitwise_and(phv.min(axis=1), _MAX32)
-            bandsig = sig.reshape(bands, r)
-            # polynomial band combine in uint64 (wrapping)
-            bh = np.zeros(bands, dtype=np.uint64)
-            for j in range(r):
-                bh = bh * np.uint64(1000003) + bandsig[:, j]
-            out.append(bh.astype(np.int64).tolist())
+        # One numpy pass for the WHOLE Arrow batch: concatenate every row's
+        # shingle hashes, permute as a single (num_perm, total) broadcast,
+        # reduce per-row signatures with minimum.reduceat — no per-row numpy
+        # call overhead (the per-row loop was 10x slower at bench scale).
+        n = len(hashes)
+        lens = np.fromiter(
+            ((0 if hs is None else len(hs)) for hs in hashes), dtype=np.int64, count=n
+        )
+        nonempty = lens > 0
+        if not nonempty.any():
+            return pd.Series([None] * n)
+        flat = np.concatenate(
+            [np.asarray(hs, dtype=np.int64) for hs in hashes[nonempty.tolist()]]
+        ).astype(np.uint64)
+        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+        # permute in blocks of 16 rows of (a, b): full-batch vectorization
+        # with a bounded working set (16 x total_shingles x 8B per task —
+        # the unblocked (128 x total) matrix was ~0.5 GB/task and thrashed)
+        sig = np.empty((num_perm, len(offsets)), dtype=np.uint64)
+        PB = 16
+        for p0 in range(0, num_perm, PB):
+            phv = (a[p0 : p0 + PB, None] * flat[None, :] + b[p0 : p0 + PB, None]) % _MERSENNE
+            sig[p0 : p0 + PB] = np.minimum.reduceat(phv, offsets, axis=1)
+        sig = np.bitwise_and(sig, _MAX32)  # (num_perm, n_nonempty)
+        bandsig = sig.reshape(bands, r, -1)
+        bh = np.zeros((bands, bandsig.shape[2]), dtype=np.uint64)
+        for j in range(r):
+            bh = bh * np.uint64(1000003) + bandsig[:, j, :]
+        cols = bh.astype(np.int64).T  # (n_nonempty, bands)
+        out: list = [None] * n
+        j = 0
+        for i in range(n):
+            if nonempty[i]:
+                out[i] = cols[j].tolist()
+                j += 1
         return pd.Series(out)
 
     return udf
@@ -253,7 +275,10 @@ def minhash_dedup(
     star edges -> CC -> left_anti.  No B² bucket blow-up anywhere.
     """
     if use_tokens:
-        shingles = ngram_strings(F.col("tokens"), token_ngram, ",")
+        from dataflow_spark.functions.text import token_shingle_hashes
+
+        shingle_hashes = token_shingle_hashes(F.col("tokens"), token_ngram)
+        return _minhash_from_hashes(df, shingle_hashes, seq_col, num_perm, bands, seed)
     else:
         # char n-grams: sliding substring window, JVM-side HOF (dynamic start
         # position needs the SQL expr form of substring)
@@ -266,7 +291,12 @@ def minhash_dedup(
             ),
         ).otherwise(F.array(s))
     shingle_hashes = F.transform(shingles, lambda g: F.xxhash64(g))
+    return _minhash_from_hashes(df, shingle_hashes, seq_col, num_perm, bands, seed)
 
+
+def _minhash_from_hashes(
+    df: DataFrame, shingle_hashes, seq_col: str, num_perm: int, bands: int, seed: int
+) -> DataFrame:
     band_udf = minhash_band_udf(num_perm, bands, seed)
     sig = df.select(
         F.col(seq_col).alias("_seq"),

@@ -383,3 +383,78 @@ def general_filter(predicates: list | None = None) -> Stage:
         return df
 
     return Stage("GeneralFilter", fn, (), (), "filter")
+
+
+# --- score-range filter stages wrapping evaluator scorers --------------------
+
+
+@register("PerplexityFilter")
+def perplexity_filter(
+    min_ppl: float = 0.0,
+    max_ppl: float = 1e9,
+    tokens_col: str = "tokens",
+    logprobs: dict | None = None,
+) -> Stage:
+    """PerplexityFilter (text_pt/filter/perplexity_filter.py:9-60): keep rows
+    whose perplexity score falls in [min, max].  Scorer = the engine's
+    unigram-LM proxy over tokens (no GPU model in sandbox); any scorer with
+    the same column contract slots in (SURVEY.md §2 quality-model filters)."""
+    from dataflow_spark.operators.evaluators import fit_unigram_lm, perplexity_proxy_udf
+
+    def fn(df: DataFrame) -> DataFrame:
+        lp = logprobs if logprobs is not None else fit_unigram_lm(df, tokens_col)
+        scored = df.withColumn("PerplexityScore", perplexity_proxy_udf(lp)(F.col(tokens_col)))
+        return scored.where(
+            F.col("PerplexityScore").isNull()
+            | F.col("PerplexityScore").between(min_ppl, max_ppl)
+        )
+
+    return Stage("PerplexityFilter", fn, (tokens_col,), ("PerplexityScore",), "filter")
+
+
+@register("LexicalDiversityFilter")
+def lexical_diversity_filter(
+    min_mtld: float = 0.0,
+    max_mtld: float = 1e9,
+    input_key: str = "text",
+) -> Stage:
+    """LexicalDiversityFilter (lexical_diversity_filter.py:10-72): MTLD score
+    within bounds; NaN/null PASSES (reference lines 64-65)."""
+    from dataflow_spark.operators.evaluators import mtld_hdd_udf
+
+    udf = mtld_hdd_udf()
+
+    def fn(df: DataFrame) -> DataFrame:
+        scored = df.withColumn("_ld", udf(F.col(input_key))).withColumn(
+            "LexicalDiversityMTLDScore", F.col("_ld.mtld")
+        ).drop("_ld")
+        s = F.col("LexicalDiversityMTLDScore")
+        return scored.where(s.isNull() | F.isnan(s) | s.between(min_mtld, max_mtld))
+
+    return Stage(
+        "LexicalDiversityFilter", fn, (input_key,), ("LexicalDiversityMTLDScore",), "filter"
+    )
+
+
+@register("LanguageFilter")
+def language_filter(
+    allowed_langs: tuple[str, ...] = ("en",),
+    input_key: str = "text",
+    source_col: str | None = None,
+    allowed_sources: tuple[str, ...] = (),
+) -> Stage:
+    """LanguageFilter (language_filter.py:11-79): keep rows whose predicted
+    language is allowed.  Two routes: the char/stopword heuristic over text
+    (fasttext stand-in, same stage contract), or source-conditioned routing
+    on the ``source`` column (tokens are language-opaque — north star)."""
+    from dataflow_spark.operators.evaluators import langid_heuristic
+
+    def fn(df: DataFrame) -> DataFrame:
+        if source_col is not None:
+            return df.where(F.col(source_col).isin(list(allowed_sources)))
+        return df.withColumn("lang_pred", langid_heuristic(input_key)).where(
+            F.col("lang_pred").isin(list(allowed_langs))
+        )
+
+    cols = (source_col,) if source_col else (input_key,)
+    return Stage("LanguageFilter", fn, cols, (), "filter")

@@ -156,3 +156,72 @@ def pandas_operator(fns: list | None = None) -> Stage:
         return df
 
     return Stage("PandasOperator", fn, (), (), "transform")
+
+
+# --- emoticons / contractions / stemming ------------------------------------
+
+_EMOTICONS = (
+    ":)", ":(", ":D", ":P", ":p", ";)", ":-)", ":-(", ":-D", ":-P", ";-)",
+    ":'(", ":o", ":O", "xD", "XD", "=)", "=(", "<3", "</3", ":|", ":-|",
+    ":/", ":-/", ":\\", "o_O", "O_o", "^_^", "-_-", "T_T",
+)
+
+
+def remove_emoticons(col) -> Column:
+    """RemoveEmoticonsRefiner (remove_emoticons_refiner.py:9-57): strip a
+    fixed emoticon dictionary (the reference ships a big emoticon dict; this
+    is the common core) — one JVM regex alternation, longest-first so ':-)'
+    wins over ':-'."""
+    import re as _re
+
+    alts = sorted(_EMOTICONS, key=len, reverse=True)
+    pat = "|".join(_re.escape(e) for e in alts)
+    return F.regexp_replace(c(col), pat, "")
+
+
+_CONTRACTIONS = {
+    "can't": "cannot", "won't": "will not", "n't": " not",
+    "'re": " are", "'ve": " have", "'ll": " will", "'d": " would",
+    "'m": " am", "let's": "let us", "it's": "it is", "he's": "he is",
+    "she's": "she is", "that's": "that is", "what's": "what is",
+    "who's": "who is", "there's": "there is",
+}
+
+
+def remove_contractions(col) -> Column:
+    """RemoveContractionsRefiner (remove_contractions_refiner.py:9-43):
+    expand English contractions.  Ordered longest-first chain of JVM
+    regexp_replace calls (case-insensitive, word-boundary anchored) — the
+    reference's `contractions` lib is a dict map; a chain of ~16 replaces
+    stays inside whole-stage codegen."""
+    import re as _re
+
+    out = c(col)
+    for k in sorted(_CONTRACTIONS, key=len, reverse=True):
+        v = _CONTRACTIONS[k]
+        anchor = r"\b" if k[0] != "'" else ""
+        out = F.regexp_replace(out, f"(?i){anchor}{_re.escape(k)}\\b", v)
+    return out
+
+
+def stem_words(col) -> Column:
+    """StemmingLemmatizationRefiner (stemming_lemmatization_refiner.py:10-50)
+    stand-in: deterministic suffix-stripping stemmer (S-stemmer rules:
+    -ies -> -y, -sses -> -ss, trailing -s dropped) word-wise via array HOFs.
+    The reference's nltk Porter/WordNet models are not in this sandbox; the
+    stage contract (word-wise rewrite, rejoin with spaces) is identical, so a
+    real stemmer UDF slots in unchanged."""
+    ws = F.filter(F.split(c(col), r"\s+"), lambda w: w != "")
+    def stem(w):
+        return (
+            F.when(w.rlike(r"(?i).*ies$"), F.concat(F.substring(w, 1, F.length(w) - 3), F.lit("y")))
+            .when(w.rlike(r"(?i).*sses$"), F.substring(w, 1, F.length(w) - 2))
+            .when(w.rlike(r"(?i).*[^su]s$"), F.substring(w, 1, F.length(w) - 1))
+            .otherwise(w)
+        )
+    return F.array_join(F.transform(ws, stem), " ")
+
+
+register("RemoveEmoticonsRefiner")(refine_stage("RemoveEmoticonsRefiner", remove_emoticons))
+register("RemoveContractionsRefiner")(refine_stage("RemoveContractionsRefiner", remove_contractions))
+register("StemmingLemmatizationRefiner")(refine_stage("StemmingLemmatizationRefiner", stem_words))

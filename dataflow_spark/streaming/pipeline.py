@@ -230,12 +230,10 @@ def near_dup_candidates_stream(
     (band_hash, doc_a, doc_b) candidate pairs where doc_a arrived earlier
     (event-time bounded by ``join_horizon``).  Downstream either drops doc_b
     (first-seen near-dedup) or feeds a clustering job."""
-    from dataflow_spark.functions.text import ngram_strings
+    from dataflow_spark.functions.text import token_shingle_hashes
     from dataflow_spark.operators.dedup import minhash_band_udf
 
-    shingle_hashes = F.transform(
-        ngram_strings(F.col("tokens"), 3, ","), lambda g: F.xxhash64(g)
-    )
+    shingle_hashes = token_shingle_hashes(F.col("tokens"), 3)
     band_udf = minhash_band_udf(num_perm, bands)
     banded = (
         stream.withColumn("_bands", band_udf(shingle_hashes))
@@ -429,12 +427,10 @@ def streaming_minhash_dedup_decisions(
     horizon otherwise.  The doc-level ANY-band vote is a plain per-microbatch
     aggregation — do it in foreachBatch (see run_near_dedup_stream) so only
     the band memory is long-lived state."""
-    from dataflow_spark.functions.text import ngram_strings
+    from dataflow_spark.functions.text import token_shingle_hashes
     from dataflow_spark.operators.dedup import minhash_band_udf
 
-    shingle_hashes = F.transform(
-        ngram_strings(F.col("tokens"), token_ngram, ","), lambda g: F.xxhash64(g)
-    )
+    shingle_hashes = token_shingle_hashes(F.col("tokens"), token_ngram)
     band_udf = minhash_band_udf(num_perm, bands)
     banded = (
         stream.withColumn("_bands", band_udf(shingle_hashes))

@@ -76,10 +76,10 @@ def test_minhash_dedup_cluster_parity(spark):
     got = sorted(r["doc_seq"] for r in out.select("doc_seq").collect())
 
     # oracle: same shingle hashing pulled from the JVM, independent clustering
-    from dataflow_spark.functions.text import ngram_strings
+    from dataflow_spark.functions.text import token_shingle_hashes
     sh = df.select(
         "doc_seq",
-        F.transform(ngram_strings(F.col("tokens"), 3, ","), lambda g: F.xxhash64(g)).alias("sh"),
+        token_shingle_hashes(F.col("tokens"), 3).alias("sh"),
     ).collect()
     seqs = [r["doc_seq"] for r in sh]
     hashes = [r["sh"] for r in sh]

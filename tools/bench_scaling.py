@@ -1,0 +1,112 @@
+"""Scaling-efficiency evidence (north rule: throughput efficiency >= 0.8 from
+N -> 4N executors, stood in for here by local[8] -> local[32] on the same
+input).
+
+Runs bench.py twice in fresh JVMs (same amplified corpus, so only parallelism
+changes), computes per-query speedup and efficiency = speedup / 4, writes
+BENCH_scaling.json and rewrites the '## 3. Measured scaling' section of
+BASELINE.md.
+
+Usage: python tools/bench_scaling.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N, N4 = 8, 32
+
+
+def run_bench(cpus: int, replicas: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["BENCH_REPLICAS"] = str(replicas)
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=ROOT,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    lo = run_bench(N, replicas)
+    hi = run_bench(N4, replicas)
+    queries = sorted(set(lo["queries"]) & set(hi["queries"]))
+    per_q = {}
+    for q in queries:
+        speedup = lo["queries"][q] / hi["queries"][q]
+        per_q[q] = {
+            f"sec_local[{N}]": lo["queries"][q],
+            f"sec_local[{N4}]": hi["queries"][q],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (N4 / N), 3),
+        }
+    tput_lo = lo["input_tokens"] / lo["queries"]["pt_pipeline"]
+    tput_hi = hi["input_tokens"] / hi["queries"]["pt_pipeline"]
+    headline_eff = round((tput_hi / tput_lo) / (N4 / N), 3)
+    result = {
+        "cores_low": N,
+        "cores_high": N4,
+        "replicas": replicas,
+        "input_tokens": lo["input_tokens"],
+        "tokens_per_sec_low": round(tput_lo, 1),
+        "tokens_per_sec_high": round(tput_hi, 1),
+        "headline_scaling_efficiency": headline_eff,
+        "per_query": per_q,
+    }
+    with open(os.path.join(ROOT, "BENCH_scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    update_baseline_md(result)
+    print(json.dumps(result))
+
+
+def update_baseline_md(res: dict):
+    path = os.path.join(ROOT, "BASELINE.md")
+    lines = [
+        "## 3. Measured scaling (local[8] vs local[32], same input — N vs 4N stand-in)",
+        "",
+        f"Amplified tokenized corpus: {int(res['input_tokens']):,} tokens "
+        f"({res['replicas']} replicas of sf0.1 documents). Fresh JVM per run; "
+        "identical parquet input; only `local[N]` changes. "
+        "Efficiency = (T_N / T_4N) / 4.",
+        "",
+        "| job | local[8] s | local[32] s | speedup | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for q, d in res["per_query"].items():
+        lines.append(
+            f"| {q} | {d['sec_local[8]']} | {d['sec_local[32]']} | "
+            f"{d['speedup']} | {d['efficiency']} |"
+        )
+    lines += [
+        "",
+        f"Headline (pt_pipeline throughput): {res['tokens_per_sec_low']:,.0f} tok/s @ "
+        f"local[8] -> {res['tokens_per_sec_high']:,.0f} tok/s @ local[32]; "
+        f"**scaling efficiency {res['headline_scaling_efficiency']}** "
+        "(target >= 0.8).",
+        "",
+    ]
+    block = "\n".join(lines)
+    with open(path) as f:
+        md = f.read()
+    if "## 3. Measured scaling" in md:
+        md = re.sub(r"## 3\. Measured scaling.*?(?=\n## [^3]|\Z)", block, md, flags=re.S)
+    else:
+        md = md.rstrip() + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
