@@ -313,7 +313,7 @@ from dataflow_spark.operators import refiners as _ref  # noqa: E402
 
 _refine_query("refine_remove_extra_spaces", _ref.remove_extra_spaces)
 _ORACLES["refine_remove_extra_spaces"] = r"""
-    SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS text_out FROM documents
+    SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_out FROM documents
 """
 
 _refine_query("refine_lowercase", _ref.lowercase)
@@ -447,7 +447,7 @@ def eval_token_count(spark, sf_dir):
     "eval_doc_fingerprint",
     r"""
     SELECT doc_id,
-      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
 )
@@ -458,7 +458,7 @@ def eval_doc_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.md5(
-            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").cast("binary")
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary")
         ).alias("fingerprint"),
     )
 

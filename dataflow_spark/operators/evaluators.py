@@ -104,7 +104,7 @@ def quality_score(col) -> Column:
 def doc_fingerprint(col) -> Column:
     """Document fingerprint: 64-bit content id = xxhash64 of the
     whitespace-normalized lowercased text — stable across formatting noise."""
-    return F.xxhash64(F.regexp_replace(F.trim(F.lower(c(col))), r"\s+", " "))
+    return F.xxhash64(F.trim(F.regexp_replace(F.lower(c(col)), r"\s+", " ")))
 
 
 def rolling_fingerprint_udf(window: int = 16, base: int = 1000003):

@@ -22,8 +22,11 @@ from dataflow_spark.functions.text import c
 
 def remove_extra_spaces(col) -> Column:
     """RemoveExtraSpacesRefiner (remove_extra_spaces_refiner.py:9-69):
-    ' '.join(text.split()) == collapse all whitespace runs, strip ends."""
-    return F.regexp_replace(F.trim(c(col)), r"\s+", " ")
+    ' '.join(text.split()) == collapse all whitespace runs, strip ends.
+    Collapse FIRST, then trim: trim() strips only spaces, so trailing
+    '\\n'/'\\t' must become a space before trim sees it (caught by
+    tests/test_properties.py on whitespace-only input)."""
+    return F.trim(F.regexp_replace(c(col), r"\s+", " "))
 
 
 _EMOJI_RANGES = (
