@@ -61,11 +61,12 @@ def amplified_corpus(spark, sf_dir: str, replicas: int):
 def ensure_corpus(spark) -> str:
     if not os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
         shutil.rmtree(CORPUS_DIR, ignore_errors=True)
-        # Fixed 64 output files regardless of this run's core count: the
-        # corpus is shared across bench runs at different parallelism, and a
+        # Fixed 256 output files regardless of this run's core count: the
+        # corpus is shared across bench runs at different parallelism; a
         # low-core run must not write fat files that starve a high-core run
-        # of input splits.
-        amplified_corpus(spark, SF_DIR, REPLICAS).repartition(64).write.mode(
+        # of input splits, and 256 splits give 8 balanced waves at 32 cores
+        # (64 files left a 2-wave straggler tail).
+        amplified_corpus(spark, SF_DIR, REPLICAS).repartition(256).write.mode(
             "overwrite"
         ).parquet(CORPUS_DIR)
     return CORPUS_DIR
@@ -127,7 +128,14 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
         "input_tokens": float(total_tokens),
     }
 
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
+
     def bench(name, fn):
+        # BASELINE.json's metric is SUSTAINED throughput: run once untimed to
+        # absorb one-time costs (whole-stage codegen compile, Python worker
+        # fork+import, parquet footer cache), then time the steady state.
+        for _ in range(warmup):
+            fn()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)

@@ -65,9 +65,11 @@ def content_hash(keys: tuple[str, ...], algo: str = "md5"):
 
 
 def token_hash():
-    """Content hash of a token array: xxhash64 over the canonical
-    comma-joined int encoding — the dedup key for token-array equality."""
-    return F.xxhash64(F.array_join(F.col("tokens"), ","))
+    """Content hash of a token array: xxhash64 applied to the array column
+    directly (Spark's HashExpression folds elements in sequence) — the dedup
+    key for token-array equality.  No string materialization: the earlier
+    array_join encoding built ~5 bytes of string per token before hashing."""
+    return F.xxhash64(F.col("tokens"))
 
 
 def exact_dedup(
@@ -208,11 +210,15 @@ _MAX32 = np.uint64((1 << 32) - 1)
 
 
 def _perms(num_perm: int, seed: int = 1):
-    """Deterministic (a, b) permutation params — same 61-bit Mersenne-prime
-    scheme datasketch uses, so small-scale signatures can be verified against
-    an independent oracle at equal seeds."""
+    """Deterministic (a, b) permutation params for multiply-shift universal
+    hashing (Dietzfelbinger et al.): h_i(x) = (a_i * x + b_i) >> 32 over
+    uint64 wrap-around arithmetic, a_i odd.  Division-free — the earlier
+    mod-Mersenne variant spent ~90% of signature time in scalar uint64
+    division, which also killed multi-core scaling (memory/divider bound).
+    The pytest oracle (tests/oracle/dedup_oracle.py) implements the same
+    scheme independently at equal seeds."""
     gen = np.random.RandomState(seed)
-    a = gen.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = gen.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
     b = gen.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
 
@@ -244,17 +250,34 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 16, seed: int = 1):
         flat = np.concatenate(
             [np.asarray(hs, dtype=np.int64) for hs in hashes[nonempty.tolist()]]
         ).astype(np.uint64)
-        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-        # permute in blocks of 16 rows of (a, b): full-batch vectorization
-        # with a bounded working set (16 x total_shingles x 8B per task —
-        # the unblocked (128 x total) matrix was ~0.5 GB/task and thrashed)
-        sig = np.empty((num_perm, len(offsets)), dtype=np.uint64)
-        PB = 16
-        for p0 in range(0, num_perm, PB):
-            phv = (a[p0 : p0 + PB, None] * flat[None, :] + b[p0 : p0 + PB, None]) % _MERSENNE
-            sig[p0 : p0 + PB] = np.minimum.reduceat(phv, offsets, axis=1)
-        sig = np.bitwise_and(sig, _MAX32)  # (num_perm, n_nonempty)
+        lens_ne = lens[nonempty]
+        n_ne = len(lens_ne)
+        offsets = np.zeros(n_ne, dtype=np.int64)
+        np.cumsum(lens_ne[:-1], out=offsets[1:])
+        total = int(lens_ne.sum())
+        # multiply-shift (no division): (a*x + b) >> 32, uint64 wrap-around.
+        # Chunk along the SHINGLE axis so the (num_perm x chunk) matrix stays
+        # cache-resident (~4 MB): a full-width matrix makes the kernel pure
+        # DRAM traffic, which saturates at ~8 cores and flatlines scaling —
+        # measured 50s at local[8] == 52s at local[32] before this change.
+        CHUNK = 4096
+        sig = np.empty((num_perm, n_ne), dtype=np.uint64)
+        shift = np.uint64(32)
+        r0 = 0
+        while r0 < n_ne:
+            r1 = r0
+            c0 = offsets[r0]
+            while r1 < n_ne and (offsets[r1] + lens_ne[r1] - c0) <= CHUNK:
+                r1 += 1
+            if r1 == r0:
+                r1 = r0 + 1  # single row larger than CHUNK
+            c1 = int(offsets[r1]) if r1 < n_ne else total
+            seg = flat[c0:c1]
+            phv = (a[:, None] * seg[None, :] + b[:, None]) >> shift
+            sig[:, r0:r1] = np.minimum.reduceat(
+                phv, (offsets[r0:r1] - c0), axis=1
+            )
+            r0 = r1
         bandsig = sig.reshape(bands, r, -1)
         bh = np.zeros((bands, bandsig.shape[2]), dtype=np.uint64)
         for j in range(r):
@@ -324,12 +347,18 @@ def _minhash_from_hashes(
     exploded = sig.select(
         "_seq", F.posexplode("_bands").alias("band_id", "band_hash")
     )
-
-    roots = exploded.groupBy("band_id", "band_hash").agg(F.min("_seq").alias("_root"))
+    # ONE hash-aggregate pass per bucket: min seq (the root) + member list.
+    # The earlier roots-then-join shape had two consumers of `exploded`, so
+    # the whole scan+UDF chain executed twice and shuffled 2x 32M rows; this
+    # shuffles once and never re-runs the signature UDF.  Bucket member
+    # lists are star-edge sized (B entries for a B-row bucket, never B^2).
+    buckets = exploded.groupBy("band_id", "band_hash").agg(
+        F.min("_seq").alias("_root"), F.collect_list("_seq").alias("_members")
+    )
     edges = (
-        exploded.join(roots, ["band_id", "band_hash"])
-        .where(F.col("_seq") != F.col("_root"))
-        .select(F.col("_seq").alias("a"), F.col("_root").alias("b"))
+        buckets.select("_root", F.explode("_members").alias("a"))
+        .where(F.col("a") != F.col("_root"))
+        .select("a", F.col("_root").alias("b"))
         .distinct()
     )
     return keep_cluster_min(df, edges, seq_col)

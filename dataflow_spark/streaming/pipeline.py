@@ -132,7 +132,7 @@ def streaming_exact_dedup(
     timeout bounds state to the watermark horizon — the same approximation
     contract as dropDuplicatesWithinWatermark."""
     tagged = stream.withColumn(
-        "_th", F.xxhash64(F.array_join(F.col("tokens"), ","))
+        "_th", F.xxhash64(F.col("tokens"))
     ).withColumn("shard", F.pmod(F.col("_th"), F.lit(n_shards)).cast("int"))
     return (
         tagged.withWatermark("event_time", watermark_delay)
@@ -152,9 +152,7 @@ def streaming_builtin_dedup(
 ) -> DataFrame:
     """Production-default path: dropDuplicatesWithinWatermark on the token
     hash (state store managed by Spark; RocksDB-backed on a real cluster)."""
-    tagged = stream.withColumn(
-        "_th", F.xxhash64(F.array_join(F.col("tokens"), ","))
-    )
+    tagged = stream.withColumn("_th", F.xxhash64(F.col("tokens")))
     return tagged.withWatermark("event_time", watermark_delay).dropDuplicatesWithinWatermark(
         ["_th"]
     ).drop("_th")
@@ -276,8 +274,13 @@ def near_dup_candidates_stream(
             "doc_b",
             "seq_a",
             "seq_b",
+            F.col("time_b").alias("event_time"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # plain dropDuplicates on a stream keeps pair-state FOREVER; the
+        # within-watermark variant bounds it to the horizon (same contract as
+        # the dedup state everywhere else in this engine)
+        .withWatermark("event_time", watermark_delay)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
     )
 
 

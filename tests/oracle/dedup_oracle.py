@@ -64,12 +64,13 @@ def xxhash64_unavailable_stub():
 
 
 def minhash_band_hashes(shingle_hashes_per_doc, num_perm=128, bands=16, seed=1):
-    """Same permutation scheme as the engine, independent numpy impl:
-    takes the JVM xxhash64 shingle hashes (collected from Spark) as input so
-    the oracle verifies banding+clustering logic independently."""
+    """Same multiply-shift permutation scheme as the engine ((a*x + b) >> 32,
+    a odd, uint64 wrap-around), independent numpy impl: takes the JVM shingle
+    hashes (collected from Spark) as input so the oracle verifies
+    banding+clustering logic independently."""
     r = num_perm // bands
     gen = np.random.RandomState(seed)
-    a = gen.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = gen.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
     b = gen.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     out = []
     for hs in shingle_hashes_per_doc:
@@ -77,8 +78,8 @@ def minhash_band_hashes(shingle_hashes_per_doc, num_perm=128, bands=16, seed=1):
             out.append(None)
             continue
         h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-        phv = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-        sig = np.bitwise_and(phv.min(axis=1), _MAX32)
+        phv = (a[:, None] * h[None, :] + b[:, None]) >> np.uint64(32)
+        sig = phv.min(axis=1)
         bandsig = sig.reshape(bands, r)
         bh = np.zeros(bands, dtype=np.uint64)
         for j in range(r):

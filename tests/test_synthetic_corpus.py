@@ -1,0 +1,60 @@
+"""FIXTURES.md F1 synthetic-corpus generator: determinism, planted-pattern
+fractions, and that the dedup operators actually find the planted dups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflow_spark.corpus import synthetic_corpus
+from dataflow_spark.operators import dedup
+
+N = 3000
+
+
+def test_deterministic_across_partitionings(spark):
+    a = synthetic_corpus(spark, N).repartition(3).orderBy("doc_seq").collect()
+    b = synthetic_corpus(spark, N).repartition(11).orderBy("doc_seq").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert [r.tokens for r in a[:100]] == [r.tokens for r in b[:100]]
+
+
+def test_schema_and_invariants(spark):
+    df = synthetic_corpus(spark, N)
+    assert df.where(F.col("n_tok") != F.size("tokens")).count() == 0
+    assert df.where((F.col("n_tok") < 8) | (F.col("n_tok") > 4096)).count() == 0
+    assert df.count() == N
+
+
+def test_planted_fractions(spark):
+    df = synthetic_corpus(spark, N)
+    n = df.count()
+    # source skew
+    cc = df.where(F.col("source") == "cc").count() / n
+    assert 0.6 < cc < 0.8
+    # exact duplicates: rows whose token stream equals another row's
+    dup_rows = n - (
+        dedup.exact_dedup(
+            df.withColumn("_th", dedup.token_hash()), hash_col="_th"
+        ).count()
+    )
+    assert 0.02 * n < dup_rows < 0.09 * n
+    # late arrivals ~2%
+    late = df.where(
+        F.col("event_time")
+        < F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_seq").cast("double"))
+        - F.make_interval(mins=F.lit(30))
+    ).count()
+    assert 0.005 * n < late < 0.05 * n
+
+
+def test_minhash_catches_planted_near_dups(spark):
+    # materialize first: shingling element_at() over the LAZY generator
+    # expression re-evaluates the whole tokens CASE/transform per element
+    # (O(L^2) per row) — any real corpus is parquet-materialized anyway
+    df = synthetic_corpus(spark, 1500).localCheckpoint(eager=True)
+    survivors = dedup.minhash_dedup(df, use_tokens=True, token_ngram=3, bands=16)
+    dropped = df.count() - survivors.count()
+    # exact dups (~5%) collide on every band; near-dups (~5%, 10% edits) on
+    # most bands; repetition docs collapse too — expect a healthy drop count
+    assert dropped > 0.04 * 1500
