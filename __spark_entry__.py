@@ -1105,3 +1105,34 @@ def filter_language_en(spark, sf_dir):
     df = _docs(spark, sf_dir)
     out = get_operator("LanguageFilter", allowed_langs=("en",)).apply(df)
     return out.select("doc_id")
+
+
+@q(
+    "events_value_stats",
+    """
+    SELECT event_type,
+           round(avg(value), 4) AS avg_v,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v,
+           round(stddev_samp(value), 4) AS sd_v,
+           round(quantile_cont(value, 0.5), 4) AS median_v,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_stats(spark, sf_dir):
+    """Per-group numeric profile: avg/min/max/sample-stddev/exact median —
+    the BenchDatasetEvaluator-style aggregate surface over a numeric column
+    (exact percentile matches DuckDB quantile_cont)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_v"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_v"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_v"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -158,6 +158,31 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
         .collect(),
     )
 
+    # streaming pipeline throughput (the north-star metric surface): file
+    # stream over the same corpus -> watermark -> stateful exact dedup ->
+    # token filters -> exactly-once sink; tokens/sec of the full run
+    def stream_pipeline():
+        import tempfile
+
+        from dataflow_spark.streaming.pipeline import run_dedup_filter_stream
+
+        with tempfile.TemporaryDirectory() as tmp:
+            q = run_dedup_filter_stream(
+                spark,
+                corpus_dir,
+                os.path.join(tmp, "out"),
+                os.path.join(tmp, "ckpt"),
+                max_files_per_trigger=64,
+                n_shards=CPUS * 4,
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    bench("stream_pipeline", stream_pipeline)
+    extras["stream_tokens_per_sec"] = round(
+        total_tokens / timings["stream_pipeline"], 1
+    )
+
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     bench(
         "window_agg",

@@ -96,6 +96,13 @@ def update_baseline_md(res: dict):
         f"**scaling efficiency {res['headline_scaling_efficiency']}** "
         "(target >= 0.8).",
         "",
+        "Reading the per-query table: sub-3-second jobs (window_agg, ANN at "
+        "this SF) are scheduler-overhead-dominated and their efficiency is "
+        "not meaningful at this input size — they exist for correctness "
+        "timing, not scaling evidence. minhash_dedup includes the "
+        "connected-components rounds, whose per-round fixed cost (2 joins + "
+        "checkpoint on a ~2M-edge set) amortizes only at larger inputs.",
+        "",
     ]
     block = "\n".join(lines)
     with open(path) as f:
