@@ -1136,3 +1136,91 @@ def events_value_stats(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+# --- text2sql domain ---------------------------------------------------------
+
+_SQLGEN_SPARK = None  # built inside the query fns
+
+
+def _sqlgen(spark, sf_dir):
+    """Deterministic per-doc SQL statements (4 shapes incl. one invalid) —
+    the SQLGenerator stand-in both engines can reproduce exactly."""
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    stmt = (
+        F.when(m == 0, F.lit("SELECT 1 AS x"))
+        .when(m == 1, F.concat(F.lit("SELECT count(*) FROM t WHERE v > "), F.col("doc_id").cast("string")))
+        .when(m == 2, F.lit("SELECT a.v, sum(a.v) FROM t a JOIN t b ON a.v = b.v GROUP BY a.v ORDER BY 2"))
+        .otherwise(F.concat(F.lit("SELEC broken "), F.col("doc_id").cast("string")))
+    )
+    return d.select("doc_id", stmt.alias("sql"))
+
+
+_SQLGEN_SQL = """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'SELECT 1 AS x'
+        WHEN 1 THEN 'SELECT count(*) FROM t WHERE v > ' || doc_id::VARCHAR
+        WHEN 2 THEN 'SELECT a.v, sum(a.v) FROM t a JOIN t b ON a.v = b.v GROUP BY a.v ORDER BY 2'
+        ELSE 'SELEC broken ' || doc_id::VARCHAR
+      END AS sql
+    FROM documents
+"""
+
+
+@q(
+    "text2sql_component_classify",
+    rf"""
+    WITH g AS ({_SQLGEN_SQL})
+    SELECT doc_id,
+      len(regexp_extract_all(sql, '(?i)\bjoin\b'))::INT AS n_joins,
+      len(regexp_extract_all(sql, '(?i)\bwhere\b'))::INT AS n_where,
+      len(regexp_extract_all(sql, '(?i)\bgroup\s+by\b'))::INT AS n_group_by,
+      len(regexp_extract_all(sql, '(?i)\b(count|sum|avg|min|max)\s*\('))::INT AS n_aggs,
+      CASE
+        WHEN len(regexp_extract_all(sql, '(?i)\bjoin\b'))
+           + len(regexp_extract_all(sql, '(?i)\bwhere\b'))
+           + len(regexp_extract_all(sql, '(?i)\bgroup\s+by\b'))
+           + len(regexp_extract_all(sql, '(?i)\border\s+by\b'))
+           + len(regexp_extract_all(sql, '(?i)\b(count|sum|avg|min|max)\s*\('))
+           + len(regexp_extract_all(sql, '(?i)\(\s*select\b')) < 2 THEN 'easy'
+        WHEN len(regexp_extract_all(sql, '(?i)\bjoin\b'))
+           + len(regexp_extract_all(sql, '(?i)\bwhere\b'))
+           + len(regexp_extract_all(sql, '(?i)\bgroup\s+by\b'))
+           + len(regexp_extract_all(sql, '(?i)\border\s+by\b'))
+           + len(regexp_extract_all(sql, '(?i)\b(count|sum|avg|min|max)\s*\('))
+           + len(regexp_extract_all(sql, '(?i)\(\s*select\b')) < 4 THEN 'medium'
+        ELSE 'hard'
+      END AS sql_difficulty
+    FROM g
+    """,
+)
+def text2sql_component_classify(spark, sf_dir):
+    """SQLComponentClassifier (text2sql): clause counts + difficulty bucket
+    over deterministically generated statements."""
+    from dataflow_spark.operators.text2sql import sql_difficulty, _COMPONENTS
+
+    g = _sqlgen(spark, sf_dir)
+    return g.select(
+        "doc_id",
+        F.regexp_count(F.col("sql"), F.lit(_COMPONENTS["n_joins"])).cast("int").alias("n_joins"),
+        F.regexp_count(F.col("sql"), F.lit(_COMPONENTS["n_where"])).cast("int").alias("n_where"),
+        F.regexp_count(F.col("sql"), F.lit(_COMPONENTS["n_group_by"])).cast("int").alias("n_group_by"),
+        F.regexp_count(F.col("sql"), F.lit(_COMPONENTS["n_aggs"])).cast("int").alias("n_aggs"),
+        sql_difficulty("sql").alias("sql_difficulty"),
+    )
+
+
+@q("text2sql_executability")
+def text2sql_executability(spark, sf_dir):
+    """SQLExecutabilityFilter (text2sql): keep statements that parse+plan in
+    an embedded per-executor DuckDB (mapInPandas; dataflow/utils/db_pool
+    analogue) — rows-only (try/except is not ANSI SQL); pytest parity in
+    tests/test_text2sql.py."""
+    from dataflow_spark.operators.text2sql import sql_executability_filter
+
+    g = _sqlgen(spark, sf_dir)
+    return sql_executability_filter(
+        g, setup_sql="CREATE TABLE t (v INTEGER)"
+    ).select("doc_id")

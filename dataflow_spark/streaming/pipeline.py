@@ -99,15 +99,12 @@ def _dedup_fn(
             max_ev_ms = max(
                 max_ev_ms, int(pdf["event_time"].max().timestamp() * 1000)
             )
-        keep_mask = []
-        for h in pdf["_th"]:
-            h = int(h)
-            if h in seen:
-                keep_mask.append(False)
-            else:
-                seen.add(h)
-                keep_mask.append(True)
-        out = pdf[keep_mask].drop(columns=["_th"])
+        # vectorized first-seen: new = not in state AND first occurrence in
+        # this (doc_seq-sorted) batch — no per-row Python (input_hint)
+        th = pdf["_th"].astype("int64")
+        keep_mask = (~th.isin(seen)) & (~th.duplicated(keep="first"))
+        seen.update(th[keep_mask].tolist())
+        out = pdf[keep_mask.to_numpy()].drop(columns=["_th"])
         if len(out):
             out = out.assign(_seen_total=len(seen))
             yield out
@@ -278,8 +275,9 @@ def near_dup_candidates_stream(
         )
         # plain dropDuplicates on a stream keeps pair-state FOREVER; the
         # within-watermark variant bounds it to the horizon (same contract as
-        # the dedup state everywhere else in this engine)
-        .withWatermark("event_time", watermark_delay)
+        # the dedup state everywhere else in this engine).  The watermark is
+        # inherited from the join inputs — re-declaring it here is an error
+        # ("Redefining watermark is disallowed").
         .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
     )
 
@@ -391,14 +389,10 @@ def _band_state_fn(key, pdf_iter, state):
         pdf = pdf.sort_values("doc_seq")
         if len(pdf):
             max_ev_ms = max(max_ev_ms, int(pdf["event_time"].max().timestamp() * 1000))
-        matched = []
-        for bh in pdf["band_hash"]:
-            bh = int(bh)
-            if bh in seen:
-                matched.append(1)
-            else:
-                seen.add(bh)
-                matched.append(0)
+        bh = pdf["band_hash"].astype("int64")
+        # matched: band already in state OR seen earlier in this sorted batch
+        matched = (bh.isin(seen) | bh.duplicated(keep="first")).astype("int32")
+        seen.update(bh[~matched.astype(bool)].tolist())
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
