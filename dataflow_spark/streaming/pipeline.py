@@ -189,24 +189,34 @@ def windowed_source_stats(
     )
 
 
-def session_windows_per_source(
-    stream: DataFrame, gap: str = "30 minutes", watermark_delay: str = "10 minutes"
+def session_windows(
+    stream: DataFrame,
+    key_col: str = "source",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
-    """Session windows per source (doc batches separated by quiet gaps) —
-    session_window keyed by source (north rule: session windows per doc_id
-    batch)."""
+    """Session windows per arbitrary key (doc batches separated by quiet
+    gaps): key by ``source`` for per-shard batch sessions, or by a doc-id
+    prefix (e.g. ``F.substring('doc_id', 1, 8)`` pre-projected) for per
+    doc_id-batch sessions (north rule)."""
     return (
         stream.withWatermark("event_time", watermark_delay)
-        .groupBy(F.session_window("event_time", gap).alias("sw"), "source")
+        .groupBy(F.session_window("event_time", gap).alias("sw"), key_col)
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .select(
             F.col("sw.start").alias("session_start"),
             F.col("sw.end").alias("session_end"),
-            "source",
+            key_col,
             "n_docs",
             "n_tokens",
         )
     )
+
+
+def session_windows_per_source(
+    stream: DataFrame, gap: str = "30 minutes", watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    return session_windows(stream, "source", gap, watermark_delay)
 
 
 # ---------------------------------------------------------------------------
