@@ -386,19 +386,46 @@ def simhash_udf():
 
     @pandas_udf(T.LongType())
     def udf(hashes: pd.Series) -> pd.Series:
+        # same cache-chunked whole-batch shape as the MinHash kernel: concat
+        # all word hashes, bit-unpack a (64 x chunk) slab while it is
+        # cache-resident, per-row popcounts via add.reduceat
+        n = len(hashes)
+        lens = np.fromiter(
+            ((0 if hs is None else len(hs)) for hs in hashes), dtype=np.int64, count=n
+        )
+        out = np.zeros(n, dtype=np.int64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(hs, dtype=np.int64) for hs in hashes[nonempty]]
+        ).astype(np.uint64)
+        lens_ne = lens[nonempty]
+        n_ne = len(lens_ne)
+        offsets = np.zeros(n_ne, dtype=np.int64)
+        np.cumsum(lens_ne[:-1], out=offsets[1:])
+        total = int(lens_ne.sum())
         shifts = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                out[i] = 0
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for j in np.nonzero(v > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(fp.astype(np.int64))
+        fps = np.zeros(n_ne, dtype=np.uint64)
+        CHUNK = 4096
+        r0 = 0
+        while r0 < n_ne:
+            r1 = r0
+            c0 = offsets[r0]
+            while r1 < n_ne and (offsets[r1] + lens_ne[r1] - c0) <= CHUNK:
+                r1 += 1
+            if r1 == r0:
+                r1 = r0 + 1
+            c1 = int(offsets[r1]) if r1 < n_ne else total
+            seg = flat[c0:c1]
+            bits = ((seg[None, :] >> shifts[:, None]) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bits, offsets[r0:r1] - c0, axis=1)  # (64, rows)
+            rl = lens_ne[r0:r1]
+            v = 2 * ones - rl[None, :]
+            fp_bits = (v > 0).astype(np.uint64)
+            fps[r0:r1] = (fp_bits << shifts[:, None]).sum(axis=0, dtype=np.uint64)
+            r0 = r1
+        out[nonempty] = fps.astype(np.int64)
         return pd.Series(out)
 
     return udf
