@@ -31,7 +31,16 @@ def sql_executability(
     """Label each row 1/0 by whether its SQL statement parses+plans in an
     embedded DuckDB (EXPLAIN — no data needed beyond ``setup_sql`` schema).
     One connection per partition, vectorized batches, never per-row Python
-    process spawning."""
+    process spawning.
+
+    Hardened against untrusted (LLM-generated) SQL — this operator's whole
+    input domain: (a) multi-statement payloads are rejected outright
+    (``'SELECT 1; DROP TABLE t'`` would otherwise become
+    ``EXPLAIN SELECT 1; DROP TABLE t`` and *execute* the trailing DROP,
+    mutating the shared per-partition connection and flipping labels for
+    later rows), and (b) the connection disables external access so ATTACH /
+    COPY TO file / INSTALL cannot reach the executor filesystem or network.
+    """
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
     )
@@ -39,13 +48,16 @@ def sql_executability(
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import duckdb
 
-        con = duckdb.connect()
+        con = duckdb.connect(config={"enable_external_access": "false"})
         if setup_sql:
             con.execute(setup_sql)
         for pdf in it:
             oks = []
             for stmt in pdf[sql_col]:
                 try:
+                    if len(duckdb.extract_statements(stmt)) != 1:
+                        oks.append(0)
+                        continue
                     con.execute(f"EXPLAIN {stmt}")
                     oks.append(1)
                 except Exception:

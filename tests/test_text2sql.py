@@ -26,6 +26,23 @@ def test_sql_executability_filter(spark):
     assert kept == {"a", "b", "e"}
 
 
+def test_sql_injection_rejected(spark):
+    # Multi-statement payloads must label 0 (never execute the tail), and the
+    # shared per-partition connection must stay intact for later rows.
+    rows = [
+        ("ok1", "SELECT count(*) FROM t"),
+        ("inj", "SELECT 1; DROP TABLE t"),
+        ("ok2", "SELECT v FROM t"),  # would fail if the DROP had executed
+        ("ext", "COPY (SELECT 1) TO '/tmp/_sqlinj_probe.csv'"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "sql"]).coalesce(1)
+    kept = {r.id for r in sql_executability_filter(df, setup_sql=SETUP).collect()}
+    assert kept == {"ok1", "ok2"}
+    import os
+
+    assert not os.path.exists("/tmp/_sqlinj_probe.csv")
+
+
 def test_sql_executability_stage_labels(spark):
     df = spark.createDataFrame(STMTS, ["id", "sql"])
     out = get_operator("SQLExecutabilityFilter", setup_sql=SETUP).apply(df)
