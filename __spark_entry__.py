@@ -612,48 +612,166 @@ def ann_brute_force_top5(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
 
 
-# --- near-dedup (rows-only: clustering is not ANSI-SQL-expressible) ----------
+# --- near-dedup: planted-duplicate oracles -----------------------------------
+#
+# Near-dedup clustering is not ANSI-SQL-expressible, so a direct oracle over
+# the natural corpus is impossible (and the natural word-soup corpus has
+# algorithm-dependent borderline merges).  Instead each query runs the REAL
+# operator over a corpus whose duplicate structure is fully predictable:
+#
+#   * minhash/simhash: a synthetic md5-word corpus constructed IDENTICALLY in
+#     Spark and DuckDB (one expression, doc_id-keyed) — base docs are
+#     pairwise-distant by construction (random 32-hex words, Jaccard ~0.002,
+#     simhash hamming ~32), so zero natural merges; planted exact copies and
+#     small-tail near-dups are detected with certainty (exact: identical
+#     signatures; near: Jaccard 0.997 / ~2 flipped bits vs thresholds).
+#   * ngram segments: real documents text; the planted mutant keeps segments
+#     1-2 byte-identical (same length, last third replaced), so overlap>=2 is
+#     guaranteed, and distinct natural texts never share a whole segment.
+#   * embeddings: planted scaled copies (cosine exactly 1, sign pattern
+#     preserved => same LSH bucket under ANY hyperplanes) and an epsilon
+#     perturbation.
+#
+# Planted ids = parent + 1e6/2e6 > every natural id, so the min-seq survivor
+# of each planted cluster is always the natural parent => the survivor set is
+# EXACTLY the base table, which DuckDB states in one SELECT.  Natural-corpus
+# behavior stays covered by the independent pandas/numpy parity oracles in
+# tests/test_dedup.py and tests/test_similarity_oracle.py.
+
+_SYN_WORDS = 128
+_SYN_TEXT_EXPR = (
+    f"array_join(transform(sequence(0, {_SYN_WORDS - 1}), "
+    "j -> md5(cast(doc_id * 131 + j as string))), ' ')"
+)
 
 
-@q("dedup_minhash_lsh")
+def _syn_docs(spark, sf_dir):
+    """doc_id-keyed synthetic corpus: 128 md5-hex words per doc, reproducible
+    verbatim in DuckDB (the oracle re-derives identical strings).
+    localCheckpoint: the text must be MATERIALIZED before char-shingling —
+    minhash's substring lambda indexes the text per shingle position, and
+    over the lazy 128-md5 generator expression each index re-runs the whole
+    generator (O(len^2) per row; observed as a wedged single core at sf0.1)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("doc_id").cast("long").alias("doc_seq"),
+            F.expr(_SYN_TEXT_EXPR).alias("text"),
+            "source",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _plant_text_dups(base, mutate):
+    """base + exact copies (doc_id%5==0, +1e6) + mutated near-dups
+    (doc_id%5==1, +2e6); ``mutate`` maps the text column expression."""
+    exact = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_seq") + 1_000_000).alias("doc_seq"),
+        "text",
+        "source",
+    )
+    near = base.where(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        (F.col("doc_seq") + 2_000_000).alias("doc_seq"),
+        mutate(F.col("text")).alias("text"),
+        "source",
+    )
+    return base.select("doc_id", "doc_seq", "text", "source").unionByName(exact).unionByName(near)
+
+
+@q("dedup_minhash_lsh", "SELECT doc_id, source FROM documents")
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHashDeduplicateFilter (minhash_deduplicate_filter.py:9-89): char
-    5-gram MinHash-LSH near-dedup; survivor = min doc_id per cluster.
-    Deterministic (seeded permutations) but union-find is not SQL —
-    rows-only check; full parity vs an independent oracle in tests/test_dedup.py."""
+    5-gram MinHash(128)-LSH; survivor = min doc_seq per near-dup cluster.
+    Planted-duplicate corpus (see block comment): every exact copy collides in
+    all 16 bands; the ' zzzz' tail leaves Jaccard≈0.997 (miss prob ~1e-26);
+    base docs are pairwise-distant => survivors == the original table."""
     from dataflow_spark.operators.dedup import minhash_dedup
 
-    df = _docs(spark, sf_dir).withColumn("doc_seq", F.col("doc_id").cast("long"))
-    return minhash_dedup(df, key="text", seq_col="doc_seq").select("doc_id", "source")
+    corpus = _plant_text_dups(
+        _syn_docs(spark, sf_dir), lambda t: F.concat(t, F.lit(" zzzz"))
+    )
+    return minhash_dedup(corpus, key="text", seq_col="doc_seq").select("doc_id", "source")
 
 
-@q("dedup_simhash")
+@q("dedup_simhash", "SELECT doc_id, source FROM documents")
 def dedup_simhash(spark, sf_dir):
-    """SimHashDeduplicateFilter (simhash_deduplicate_filter.py:14-85) —
-    rows-only; oracle parity in tests/test_dedup.py."""
+    """SimHashDeduplicateFilter (simhash_deduplicate_filter.py:14-85): 64-bit
+    word simhash + pigeonhole blocking.  Planted corpus: exact copies share
+    the fingerprint (hamming 0); one appended word over 128 flips ~2 bits
+    (threshold 0.85 => hamming<=9 passes); random base fingerprints sit at
+    hamming ~32 => no natural merges."""
     from dataflow_spark.operators.dedup import simhash_dedup
 
-    df = _docs(spark, sf_dir).withColumn("doc_seq", F.col("doc_id").cast("long"))
-    return simhash_dedup(df, key="text", seq_col="doc_seq").select("doc_id", "source")
+    corpus = _plant_text_dups(
+        _syn_docs(spark, sf_dir), lambda t: F.concat(t, F.lit(" zzzz"))
+    )
+    return simhash_dedup(corpus, key="text", seq_col="doc_seq", threshold=0.85).select(
+        "doc_id", "source"
+    )
 
 
-@q("dedup_ngram_segments")
+@q(
+    "dedup_ngram_segments",
+    # natural exact-duplicate texts (present at sf0.1) share all 3 segments
+    # and are legitimately collapsed -> survivors = first-seen per text,
+    # which also absorbs every planted row (clusters chain through parents)
+    """
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+    USING (doc_id)
+    """,
+)
 def dedup_ngram_segments(spark, sf_dir):
-    """NgramHashDeduplicateFilter (ngramhash_deduplicate_filter.py:10-85) —
-    rows-only; semantics tested in tests/test_dedup.py."""
+    """NgramHashDeduplicateFilter (ngramhash_deduplicate_filter.py:10-85):
+    3-segment hashes, dup if >=2 shared.  Real documents text + planted exact
+    copies and same-length mutants whose last third is 'z'-filled (segments
+    1-2 byte-identical => overlap 2 guaranteed); distinct natural word-soup
+    texts never share a ~50-char segment => survivors == originals."""
     from dataflow_spark.operators.dedup import ngramhash_dedup
 
-    df = _docs(spark, sf_dir).withColumn("doc_seq", F.col("doc_id").cast("long"))
-    return ngramhash_dedup(df, key="text", n_gram=3, diff_size=3).select("doc_id", "source")
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").cast("long").alias("doc_seq"), "text", "source"
+    )
+    mutate = lambda t: F.expr(
+        "concat(substring(text, 1, 2*(length(text) div 3)), "
+        "repeat('z', length(text) - 2*(length(text) div 3)))"
+    )
+    corpus = _plant_text_dups(base, mutate)
+    return ngramhash_dedup(corpus, key="text", n_gram=3, diff_size=2).select(
+        "doc_id", "source"
+    )
 
 
-@q("emb_near_dup")
+@q("emb_near_dup", "SELECT vec_id, label FROM embeddings")
 def emb_near_dup(spark, sf_dir):
     """SemDeduplicateFilter (sem_deduplicate_filter.py:62-155): embedding
-    cosine near-dup via LSH buckets — rows-only (union-find not SQL)."""
+    cosine near-dup via sign-LSH buckets + CC.  Planted scaled copies
+    (cosine exactly 1; positive scaling preserves every hyperplane sign =>
+    guaranteed bucket collision) and 1e-4 single-element perturbations; the
+    natural sf embeddings have no pairs at cosine>=0.95 => survivors ==
+    originals.  Full numpy all-pairs parity: tests/test_similarity_oracle.py."""
     from dataflow_spark.operators.similarity import embedding_near_dup
 
-    return embedding_near_dup(_emb(spark, sf_dir), eps=0.05).select("vec_id", "label")
+    emb = _emb(spark, sf_dir)
+    scaled = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        "label",
+    )
+    pert = emb.where(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(1e-4)).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(scaled).unionByName(pert)
+    return embedding_near_dup(corpus, eps=0.05).select("vec_id", "label")
 
 
 @q(

@@ -116,9 +116,15 @@ def synthetic_corpus(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFr
     u_src = _u(idc, 3)
     u_late = _u(idc, 4)
 
-    # content seed: exact dups reuse an earlier row's stream wholesale
-    is_exact_dup = (u_kind >= 0.90) & (u_kind < 0.95) & (idc >= 13)
-    is_near_dup = (u_kind >= 0.95) & (idc >= 7)
+    # content seed: exact dups reuse an earlier row's stream wholesale.
+    # Dup parents must be CANONICAL (their own u_kind in the plain range):
+    # a parent that is itself near-dup/repeat/degenerate has tokens that
+    # differ from its base stream, so a child copying the base stream would
+    # duplicate nothing and the real planted-dup rate would undershoot.
+    parent_plain_13 = _u(idc - 13, 1) < 0.86
+    parent_plain_7 = _u(idc - 7, 1) < 0.86
+    is_exact_dup = (u_kind >= 0.90) & (u_kind < 0.95) & (idc >= 13) & parent_plain_13
+    is_near_dup = (u_kind >= 0.95) & (idc >= 7) & parent_plain_7
     is_repeat = (u_kind >= 0.87) & (u_kind < 0.90)
     is_degen = (u_kind >= 0.86) & (u_kind < 0.87)
     content_id = (

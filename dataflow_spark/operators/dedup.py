@@ -304,10 +304,14 @@ def minhash_dedup(
     use_tokens: bool = False,
     token_ngram: int = 3,
     seed: int = 1,
+    bucket_cap: int = 100_000,
+    n_salt: int = 16,
 ) -> DataFrame:
     """MinHashDeduplicateFilter (minhash_deduplicate_filter.py:9-89): char
     5-gram MinHash(num_perm=128) + LSH at threshold≈0.9; survivor = min-seq
     per near-dup cluster (see module docstring for the semantics contract).
+    Buckets larger than ``bucket_cap`` are dropped from pairing (see
+    _minhash_from_hashes; audit via minhash_dropped_buckets).
 
     bands=16 × r=8 gives LSH threshold (1/b)^(1/r) ≈ 0.707 band-collision
     knee; the reference's 0.9 threshold maps to bands=8/r=16 — configurable.
@@ -320,7 +324,9 @@ def minhash_dedup(
         from dataflow_spark.functions.text import token_shingle_hashes
 
         shingle_hashes = token_shingle_hashes(F.col("tokens"), token_ngram)
-        return _minhash_from_hashes(df, shingle_hashes, seq_col, num_perm, bands, seed)
+        return _minhash_from_hashes(
+            df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap, n_salt
+        )
     else:
         # char n-grams: sliding substring window, JVM-side HOF (dynamic start
         # position needs the SQL expr form of substring)
@@ -333,11 +339,20 @@ def minhash_dedup(
             ),
         ).otherwise(F.array(s))
     shingle_hashes = F.transform(shingles, lambda g: F.xxhash64(g))
-    return _minhash_from_hashes(df, shingle_hashes, seq_col, num_perm, bands, seed)
+    return _minhash_from_hashes(
+        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap, n_salt
+    )
 
 
 def _minhash_from_hashes(
-    df: DataFrame, shingle_hashes, seq_col: str, num_perm: int, bands: int, seed: int
+    df: DataFrame,
+    shingle_hashes,
+    seq_col: str,
+    num_perm: int,
+    bands: int,
+    seed: int,
+    bucket_cap: int = 100_000,
+    n_salt: int = 16,
 ) -> DataFrame:
     band_udf = minhash_band_udf(num_perm, bands, seed)
     sig = df.select(
@@ -347,21 +362,76 @@ def _minhash_from_hashes(
     exploded = sig.select(
         "_seq", F.posexplode("_bands").alias("band_id", "band_hash")
     )
-    # ONE hash-aggregate pass per bucket: min seq (the root) + member list.
-    # The earlier roots-then-join shape had two consumers of `exploded`, so
-    # the whole scan+UDF chain executed twice and shuffled 2x 32M rows; this
-    # shuffles once and never re-runs the signature UDF.  Bucket member
-    # lists are star-edge sized (B entries for a B-row bucket, never B^2).
-    buckets = exploded.groupBy("band_id", "band_hash").agg(
-        F.min("_seq").alias("_root"), F.collect_list("_seq").alias("_members")
+    # ONE logical pass per bucket (no roots-then-join double-execution of the
+    # signature UDF), as a SALTED two-level aggregation so no single agg
+    # buffer is unbounded:
+    #   level 1 groups by (band, hash, seq%n_salt): buffer <= B/n_salt for a
+    #     degenerate B-row bucket, and the member list is sliced to
+    #     bucket_cap+1 (enough to prove the bucket oversized);
+    #   level 2 merges the <=n_salt per-salt rows: buffer <= n_salt*(cap+1).
+    # Buckets whose TRUE size exceeds bucket_cap are dropped from pairing
+    # (same contract as simhash/ngram): at 100 TB a hot LSH bucket means a
+    # degenerate band value, and its near-dup content is already collapsed by
+    # exact dedup upstream.  The drop is not silent — minhash_dropped_buckets
+    # reports (band_id, band_hash, size) for any cap audit.
+    # Residual skew bound: a bucket of B rows still costs a B/n_salt level-1
+    # buffer (longs) — e.g. B=10^8, n_salt=16 => ~50 MB; raise n_salt for
+    # corpora with hotter degeneracy.
+    lvl1 = exploded.withColumn(
+        "_salt", F.pmod(F.col("_seq"), F.lit(n_salt))
+    ).groupBy("band_id", "band_hash", "_salt").agg(
+        F.min("_seq").alias("_root_s"),
+        F.slice(
+            F.sort_array(F.collect_list("_seq")), 1, bucket_cap + 1
+        ).alias("_mem_s"),
+        F.count("*").alias("_n_s"),
+    )
+    buckets = lvl1.groupBy("band_id", "band_hash").agg(
+        F.min("_root_s").alias("_root"),
+        F.flatten(F.collect_list("_mem_s")).alias("_members"),
+        F.sum("_n_s").alias("_n"),
     )
     edges = (
-        buckets.select("_root", F.explode("_members").alias("a"))
+        buckets.where(F.col("_n") <= bucket_cap)
+        .select("_root", F.explode("_members").alias("a"))
         .where(F.col("a") != F.col("_root"))
         .select("a", F.col("_root").alias("b"))
         .distinct()
     )
     return keep_cluster_min(df, edges, seq_col)
+
+
+def minhash_dropped_buckets(
+    df: DataFrame,
+    key: str = "text",
+    seq_col: str = "doc_seq",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 1,
+    bucket_cap: int = 100_000,
+) -> DataFrame:
+    """Audit companion to minhash_dedup's bucket_cap ("no silent caps"):
+    returns (band_id, band_hash, size) for every bucket the cap would drop.
+    Runs the same signature chain; intended for pipeline health checks, not
+    the hot path."""
+    s = F.col(key)
+    shingles = F.when(
+        F.length(s) >= shingle_n,
+        F.expr(
+            f"transform(sequence(1, length({key}) - {shingle_n} + 1), "
+            f"i -> substring({key}, i, {shingle_n}))"
+        ),
+    ).otherwise(F.array(s))
+    shingle_hashes = F.transform(shingles, lambda g: F.xxhash64(g))
+    band_udf = minhash_band_udf(num_perm, bands, seed)
+    sig = df.select(F.col(seq_col).alias("_seq"), band_udf(shingle_hashes).alias("_bands"))
+    return (
+        sig.select(F.posexplode("_bands").alias("band_id", "band_hash"))
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("size"))
+        .where(F.col("size") > bucket_cap)
+    )
 
 
 @register("MinHashDeduplicateFilter")

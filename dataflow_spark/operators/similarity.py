@@ -128,6 +128,36 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def lsh_probe_buckets_udf(planes: list[list[float]], n_probe: int = 4):
+    """pandas_udf: embedding -> array of multi-probe LSH buckets: the exact
+    sign bucket plus single-bit flips of the ``n_probe`` lowest-|margin|
+    planes (Lv et al., multi-probe LSH).  A vector whose true near-neighbor
+    sits just across a hyperplane has a tiny margin at exactly that plane, so
+    probing those flips recovers pairs the exact bucket split apart — recall
+    goes up ~(1+n_probe)x in candidate volume, never candidate-pair^2.
+    One numpy matmul per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_bits, dim)
+    n_bits = P.shape[0]
+    m = min(n_probe, n_bits)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        D = X @ P.T  # (n, n_bits) signed margins
+        weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+        base = ((D >= 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+        order = np.argsort(np.abs(D), axis=1)[:, :m]  # lowest-margin planes
+        flips = base[:, None] ^ (np.int64(1) << order.astype(np.int64))
+        out = np.concatenate([base[:, None], flips], axis=1)
+        return pd.Series(list(out))
+
+    return udf
+
+
 def embedding_near_dup(
     df: DataFrame,
     eps: float = 0.05,
@@ -135,18 +165,21 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     dim: int | None = None,
     n_bits: int = 12,
+    n_probe: int = 4,
     bucket_cap: int = 2000,
     seed: int = 7,
 ) -> DataFrame:
-    """SemDeduplicateFilter (sem_deduplicate_filter.py:62-155) at scale: LSH
-    sign-bucket candidate pairs -> exact cosine >= 1-eps -> connected
-    components -> min-id survivor."""
+    """SemDeduplicateFilter (sem_deduplicate_filter.py:62-155) at scale:
+    multi-probe LSH sign-bucket candidate pairs -> exact cosine >= 1-eps ->
+    connected components -> min-id survivor.  Verified against a from-scratch
+    numpy all-pairs + union-find oracle in tests/test_similarity_oracle.py."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bits, seed)
+    probe_udf = lsh_probe_buckets_udf(planes, n_probe)
     b = df.select(
         F.col(id_col).alias("_seq"), F.col(vec_col).alias("_v")
-    ).withColumn("_bucket", lsh_bucket_expr("_v", planes))
+    ).select("_seq", "_v", F.explode(probe_udf(F.col("_v"))).alias("_bucket"))
     sizes = b.groupBy("_bucket").agg(F.count("*").alias("_n"))
     b = b.join(sizes.where(F.col("_n") <= bucket_cap), "_bucket")
     left = b.select("_bucket", F.col("_seq").alias("a"), F.col("_v").alias("va"))
@@ -154,9 +187,11 @@ def embedding_near_dup(
     pairs = (
         left.join(right, "_bucket")
         .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.col("va"), F.col("vb"))
+        .dropDuplicates(["a", "b"])
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("sim"))
     )
-    edges = pairs.where(F.col("sim") >= 1.0 - eps).select("a", "b").distinct()
+    edges = pairs.where(F.col("sim") >= 1.0 - eps).select("a", "b")
     return keep_cluster_min(df, edges, seq_col=id_col)
 
 
@@ -334,11 +369,33 @@ def kcenter_greedy(
     return chosen
 
 
+KCENTER_MAX_K = 1000
+
+
 def kcenter_filter(
-    df: DataFrame, sampling_ratio: float = 0.1, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    sampling_ratio: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_k: int = KCENTER_MAX_K,
 ) -> DataFrame:
+    """Greedy k-center coreset selection.  COST MODEL: each selected row is
+    one driver round-trip (a max_by pass + localCheckpoint over the corpus),
+    so wall-clock is k full scans — the algorithm is a CORESET selector
+    (k in the hundreds), not a percentage sampler.  ``sampling_ratio`` keeps
+    the reference's API (kcentergreedy_filter.py:14-40, sklearn in-memory),
+    but k = ratio*n is hard-capped at ``max_k``: at 10^9 rows a 10% ratio
+    would mean 10^8 sequential scans — raise max_k explicitly only if you
+    accept k scans of the corpus."""
     n = df.count()
     k = max(1, int(n * sampling_ratio))
+    if k > max_k:
+        raise ValueError(
+            f"kcenter_filter: k={k} (= {sampling_ratio} * {n} rows) exceeds "
+            f"max_k={max_k}; greedy k-center costs one full corpus scan PER "
+            "selected row. Pass a smaller sampling_ratio or raise max_k "
+            "explicitly if k sequential scans is the intent."
+        )
     chosen = kcenter_greedy(df, k, id_col, vec_col)
     sel = df.sparkSession.createDataFrame([(c,) for c in chosen], [id_col])
     return df.join(F.broadcast(sel), id_col, "left_semi")

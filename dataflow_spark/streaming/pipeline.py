@@ -96,15 +96,18 @@ def _dedup_fn(
     for pdf in pdf_iter:
         pdf = pdf.sort_values("doc_seq")
         if len(pdf):
-            max_ev_ms = max(
-                max_ev_ms, int(pdf["event_time"].max().timestamp() * 1000)
-            )
+            # _ev_ms is unix_millis(event_time) computed JVM-side: pandas
+            # .timestamp() on the delivered tz-naive values would assume UTC
+            # while Spark delivers them in spark.sql.session.timeZone — under
+            # a non-UTC session TZ the TTL base would be offset by the zone
+            # delta (hours-long TTL drift).
+            max_ev_ms = max(max_ev_ms, int(pdf["_ev_ms"].max()))
         # vectorized first-seen: new = not in state AND first occurrence in
         # this (doc_seq-sorted) batch — no per-row Python (input_hint)
         th = pdf["_th"].astype("int64")
         keep_mask = (~th.isin(seen)) & (~th.duplicated(keep="first"))
         seen.update(th[keep_mask].tolist())
-        out = pdf[keep_mask.to_numpy()].drop(columns=["_th"])
+        out = pdf[keep_mask.to_numpy()].drop(columns=["_th", "_ev_ms"])
         if len(out):
             out = out.assign(_seen_total=len(seen))
             yield out
@@ -128,9 +131,11 @@ def streaming_exact_dedup(
     store (RocksDB in prod) holds the horizon's hashes.  TTL via event-time
     timeout bounds state to the watermark horizon — the same approximation
     contract as dropDuplicatesWithinWatermark."""
-    tagged = stream.withColumn(
-        "_th", F.xxhash64(F.col("tokens"))
-    ).withColumn("shard", F.pmod(F.col("_th"), F.lit(n_shards)).cast("int"))
+    tagged = (
+        stream.withColumn("_th", F.xxhash64(F.col("tokens")))
+        .withColumn("shard", F.pmod(F.col("_th"), F.lit(n_shards)).cast("int"))
+        .withColumn("_ev_ms", F.unix_millis(F.col("event_time")))
+    )
     return (
         tagged.withWatermark("event_time", watermark_delay)
         .groupBy("shard")
@@ -398,7 +403,8 @@ def _band_state_fn(key, pdf_iter, state):
     for pdf in pdf_iter:
         pdf = pdf.sort_values("doc_seq")
         if len(pdf):
-            max_ev_ms = max(max_ev_ms, int(pdf["event_time"].max().timestamp() * 1000))
+            # JVM-computed unix_millis — see _dedup_fn for the TZ rationale
+            max_ev_ms = max(max_ev_ms, int(pdf["_ev_ms"].max()))
         bh = pdf["band_hash"].astype("int64")
         # matched: band already in state OR seen earlier in this sorted batch
         matched = (bh.isin(seen) | bh.duplicated(keep="first")).astype("int32")
@@ -451,6 +457,7 @@ def streaming_minhash_dedup_decisions(
             "shard",
             (F.col("band_id") * n_shards + F.pmod(F.col("band_hash"), F.lit(n_shards))).cast("int"),
         )
+        .withColumn("_ev_ms", F.unix_millis(F.col("event_time")))
         .withWatermark("event_time", watermark_delay)
     )
     return banded.groupBy("shard").applyInPandasWithState(
@@ -472,10 +479,13 @@ def run_near_dedup_stream(
     bands: int = 16,
     n_shards: int = 8,
 ):
-    """Streaming near-dedup end to end: band decisions (stateful) ->
-    per-microbatch doc vote (any band matched => dup) -> survivors joined
-    back to the batch's rows -> exactly-once sink.  The join is
-    batch-local (foreachBatch), so no second long-lived state."""
+    """Streaming near-dedup, decision stream only: band decisions (stateful)
+    -> per-microbatch doc vote (any band matched => dup) -> the sink emits the
+    SURVIVOR ID LIST (doc_id, doc_seq) exactly-once, for an offline join back
+    to the source table.  The decisions stream deliberately does not carry
+    payload (it would multiply every token array by ``bands``); when the sink
+    must emit full rows use run_near_dedup_stream_exact, whose foreachBatch
+    sees the raw batch and therefore has the payload in hand."""
     survivors_sink = idempotent_parquet_sink(
         out_dir, metrics_path=os.path.join(out_dir, "_metrics.jsonl")
     )
@@ -493,6 +503,100 @@ def run_near_dedup_stream(
     )
     return (
         decisions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def run_near_dedup_stream_exact(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    bands: int = 16,
+    num_perm: int = 128,
+    token_ngram: int = 3,
+):
+    """EXACT-mode streaming near-dedup: insert-only-survivor-bands, the
+    reference's sequential query-then-insert semantics
+    (minhash_deduplicate_filter.py:66-83) — a dropped doc's bands never enter
+    the index, unlike streaming_minhash_dedup_decisions' at-least-as-
+    aggressive contract.
+
+    The insert decision needs the doc-level vote BEFORE the state update, and
+    a doc's bands live in different band-hash shards, so this is not
+    expressible inside one applyInPandasWithState pass.  Instead the LSH
+    index lives as a batch-versioned parquet band table
+    (``out_dir/_band_state/batch_id=N`` — an Iceberg table in prod), and each
+    micro-batch runs three joins in foreachBatch:
+
+      1. drop docs whose ANY band semi-joins the index of batches < N;
+      2. batch-local cluster-min dedup among the remainder (minhash_dedup —
+         coincides with the sequential loop on chain-free clusters, the same
+         contract as the batch operator);
+      3. append ONLY the survivors' bands as the batch-N index partition and
+         write FULL survivor rows exactly-once.
+
+    Replay safety: bands are written before rows, each guarded by its own
+    _SUCCESS marker, and the index read excludes partitions >= N, so a
+    replayed batch recomputes identical survivors.  State TTL = drop old
+    batch_id partitions (compaction/expiry is table maintenance in prod)."""
+    from dataflow_spark.functions.text import token_shingle_hashes
+    from dataflow_spark.operators.dedup import minhash_band_udf, minhash_dedup
+
+    state_dir = os.path.join(out_dir, "_band_state")
+    rows_sink = idempotent_parquet_sink(
+        out_dir, metrics_path=os.path.join(out_dir, "_metrics.jsonl")
+    )
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        band_udf = minhash_band_udf(num_perm, bands)
+        sh = token_shingle_hashes(F.col("tokens"), token_ngram)
+        return df.select(
+            "doc_seq", band_udf(sh).alias("_bands")
+        ).select("doc_seq", F.posexplode("_bands").alias("band_id", "band_hash"))
+
+    def sink(df: DataFrame, batch_id: int):
+        df = df.persist()
+        try:
+            have_state = os.path.isdir(state_dir) and any(
+                d.startswith("batch_id=") for d in os.listdir(state_dir)
+            )
+            if have_state:
+                state = (
+                    spark.read.parquet(state_dir)
+                    .where(F.col("batch_id") < batch_id)
+                    .select("band_id", "band_hash")
+                )
+                hit_docs = (
+                    bands_of(df)
+                    .join(state, ["band_id", "band_hash"], "left_semi")
+                    .select("doc_seq")
+                    .distinct()
+                )
+                fresh = df.join(hit_docs, "doc_seq", "left_anti")
+            else:
+                fresh = df
+            survivors = minhash_dedup(
+                fresh,
+                use_tokens=True,
+                token_ngram=token_ngram,
+                num_perm=num_perm,
+                bands=bands,
+            ).persist()
+            sb_dir = os.path.join(state_dir, f"batch_id={batch_id}")
+            if not os.path.exists(os.path.join(sb_dir, "_SUCCESS")):
+                bands_of(survivors).write.mode("overwrite").parquet(sb_dir)
+            rows_sink(survivors, batch_id)
+            survivors.unpersist()
+        finally:
+            df.unpersist()
+
+    stream = file_stream_source(spark, corpus_dir, max_files_per_trigger)
+    return (
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()

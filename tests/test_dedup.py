@@ -106,6 +106,24 @@ def test_minhash_near_dups_detected(spark):
     assert got == [0, 2]
 
 
+def test_minhash_bucket_cap(spark):
+    """Degenerate buckets above bucket_cap are dropped from pairing (no
+    unbounded agg buffer, no edges), the audit query reports them, and the
+    default (generous) cap leaves normal-corpus recall unchanged."""
+    # 60 identical docs => every band bucket holds all 60
+    rows = [(f"d{i}", i, "the same text repeated here for everyone", "cc") for i in range(60)]
+    rows.append(("u", 99, "a completely different unrelated document body", "cc"))
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    capped = dedup.minhash_dedup(df, key="text", bucket_cap=10, n_salt=4)
+    assert capped.count() == 61  # oversized buckets dropped -> no dedup edges
+    audit = dedup.minhash_dropped_buckets(df, key="text", bucket_cap=10)
+    reported = audit.collect()
+    assert len(reported) >= 16 and all(r["size"] == 60 for r in reported)
+    # generous default cap: behaves as uncapped
+    normal = dedup.minhash_dedup(df, key="text")
+    assert sorted(r["doc_seq"] for r in normal.collect()) == [0, 99]
+
+
 def test_simhash_dedup_parity(spark):
     rows = make_docs(n=120, dup_frac=0.25)
     df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")

@@ -207,6 +207,36 @@ def test_cider_identity_and_disjoint(spark):
     assert out["b"] == 0.0  # no overlapping grams
 
 
+def test_cider_distributed_matches_udf_oracle(spark):
+    """The production (no-driver-dict) DataFrame CIDEr must equal the
+    dict-broadcast UDF implementation on a mixed-overlap corpus."""
+    from dataflow_spark.core.stage import get_operator
+
+    rows = [
+        ("a", "the cat sat on the mat", "the cat sat on the mat"),
+        ("b", "alpha beta gamma delta", "omega psi chi phi"),
+        ("c", "the cat sat", "the cat sat on the mat"),
+        ("d", "a b c d e f g h", "a b c x e f g h"),
+        ("e", "", "nonempty ref"),
+        ("f", None, "ref text"),
+        ("g", "the cat sat on the mat", "the cat sat on the mat"),  # dup pair
+    ]
+    df = spark.createDataFrame(rows, ["id", "hyp", "ref"])
+    idf = cider_idf(df, "ref", max_n=4)
+    want = {
+        r.id: r.score
+        for r in df.withColumn(
+            "score", cider_udf(idf, max_n=4)(F.col("hyp"), F.col("ref"))
+        ).collect()
+    }
+    want["f"] = 0.0  # UDF treats null hyp as 0; distributed path coalesces
+    out = get_operator("CiderSampleEvaluator", hyp_key="hyp", ref_key="ref").apply(df)
+    got = {r.id: r.CiderScore for r in out.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
 def test_bench_accuracy(spark):
     rows = [("en", "en", "s1"), ("en", "fr", "s1"), ("zh", "zh", "s2")]
     df = spark.createDataFrame(rows, ["pred", "gt", "grp"])

@@ -63,6 +63,65 @@ def test_near_dedup_stream_resumes_band_state(spark, tmp_path):
     assert got == {"d000001"}
 
 
+def test_near_dedup_stream_exact_matches_batch(spark, tmp_path):
+    """Exact mode (insert-only-survivor-bands) must equal the batch
+    minhash_dedup survivor set on the same corpus — the stream==batch
+    contract — and the sink must emit FULL rows (token-array equality)."""
+    from dataflow_spark.operators.dedup import minhash_dedup
+    from dataflow_spark.streaming.pipeline import run_near_dedup_stream_exact
+
+    corpus_dir = str(tmp_path / "c")
+    out_dir = str(tmp_path / "o")
+    ckpt = str(tmp_path / "k")
+    a = list(range(100, 160))
+    near_a = list(a)
+    near_a[0], near_a[30] = 7, 9  # ~3% edits
+    b = list(range(500, 560))
+    # batch 1: a + in-batch exact dup of a; batch 2: cross-batch near-dup of
+    # a + fresh b; batch 3: exact dup of b + fresh c
+    write_file(spark, make_rows([(1, a, "cc", 0), (2, a, "cc", 1)]), corpus_dir)
+    write_file(spark, make_rows([(11, near_a, "cc", 30), (12, b, "web", 31)]), corpus_dir)
+    write_file(
+        spark,
+        make_rows([(21, b, "web", 60), (22, list(range(900, 960)), "book", 61)]),
+        corpus_dir,
+    )
+    q = run_near_dedup_stream_exact(spark, corpus_dir, out_dir, ckpt, bands=16)
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(out_dir)
+    got = {r.doc_seq: list(r.tokens) for r in out.select("doc_seq", "tokens").collect()}
+    batch = minhash_dedup(
+        spark.read.parquet(corpus_dir), use_tokens=True, token_ngram=3, bands=16
+    )
+    want = {r.doc_seq: list(r.tokens) for r in batch.select("doc_seq", "tokens").collect()}
+    assert got == want  # same survivors AND token-array equality
+    assert set(got) == {1, 12, 22}
+
+
+def test_near_dedup_stream_exact_resume(spark, tmp_path):
+    """Kill/restart: the parquet band index persists, replayed batches are
+    no-ops, and new near-dups of pre-restart survivors are still caught."""
+    from dataflow_spark.streaming.pipeline import run_near_dedup_stream_exact
+
+    corpus_dir = str(tmp_path / "c")
+    out_dir = str(tmp_path / "o")
+    ckpt = str(tmp_path / "k")
+    base = list(range(300, 360))
+    write_file(spark, make_rows([(1, base, "cc", 0)]), corpus_dir)
+    q = run_near_dedup_stream_exact(spark, corpus_dir, out_dir, ckpt, bands=8)
+    q.processAllAvailable()
+    q.stop()
+    write_file(spark, make_rows([(31, base, "cc", 40), (32, list(range(700, 760)), "web", 41)]), corpus_dir)
+    q2 = run_near_dedup_stream_exact(spark, corpus_dir, out_dir, ckpt, bands=8)
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(
+        r.doc_seq for r in spark.read.parquet(out_dir).select("doc_seq").collect()
+    )
+    assert got == [1, 32]
+
+
 def test_route_by_source(spark, tmp_path):
     corpus_dir = str(tmp_path / "c")
     out_dir = str(tmp_path / "o")
