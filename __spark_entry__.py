@@ -1161,31 +1161,52 @@ def tpch_q3_top_orders(spark, sf_dir):
 
 import re as _re  # noqa: E402
 
-_EMOT_PAT = "|".join(
-    _re.escape(e) for e in sorted(_ref._EMOTICONS, key=len, reverse=True)
-)
+def _emoticon_sql() -> str:
+    # Mirror the engine's semantics mechanically: sequential LITERAL replaces
+    # in dict insertion order (reference remove_emoticons_refiner.py loops
+    # EMOTICONS_EMO.keys() and str.replace()s each — order is observable).
+    # DuckDB's binder caps expression nesting at 128, so the 221-entry chain
+    # is chunked through a CTE pipeline (<=100 nested replaces per CTE).
+    chunks = [_ref._EMOTICONS[i : i + 100] for i in range(0, len(_ref._EMOTICONS), 100)]
+    ctes, src = [], "documents"
+    for n, chunk in enumerate(chunks):
+        expr = "text" if n == 0 else "text_out"
+        for e in chunk:
+            expr = "replace({}, '{}', '')".format(expr, e.replace("'", "''"))
+        ctes.append(f"emo{n} AS (SELECT doc_id, {expr} AS text_out FROM {src})")
+        src = f"emo{n}"
+    return "WITH " + ", ".join(ctes) + f" SELECT doc_id, text_out FROM {src}"
+
+
 _refine_query("refine_remove_emoticons", _ref.remove_emoticons)
-_ORACLES["refine_remove_emoticons"] = (
-    "SELECT doc_id, regexp_replace(text, '"
-    + _EMOT_PAT.replace("\\", "\\").replace("'", "''")
-    + "', '', 'g') AS text_out FROM documents"
-)
+_ORACLES["refine_remove_emoticons"] = _emoticon_sql()
 
 
 def _contractions_sql() -> str:
-    expr = "text"
-    for k in sorted(_ref._CONTRACTIONS, key=len, reverse=True):
-        v = _ref._CONTRACTIONS[k]
-        anchor = r"\b" if k[0] != "'" else ""
-        pat = f"(?i){anchor}{_re.escape(k)}\\b".replace("'", "''")
-        expr = f"regexp_replace({expr}, '{pat}', '{v}', 'g')"
-    return expr
+    # Same chunked-CTE shape as _emoticon_sql (DuckDB binder depth <= 128);
+    # rules are RE2-compatible by construction (contraction_rules docstring),
+    # replacement backref syntax is \1 in DuckDB vs ${1} in Java.
+    from dataflow_spark.operators.refiners import contraction_rules, _CONTRACTIONS
+
+    rules = [
+        (pat, ("\\1" + tail) if tail is not None else v)
+        for (k, v), (pat, tail) in zip(_CONTRACTIONS.items(), contraction_rules())
+    ]
+    chunks = [rules[i : i + 100] for i in range(0, len(rules), 100)]
+    ctes, src = [], "documents"
+    for n, chunk in enumerate(chunks):
+        expr = "text" if n == 0 else "text_out"
+        for pat, repl in chunk:
+            expr = "regexp_replace({}, '{}', '{}', 'g')".format(
+                expr, pat.replace("'", "''"), repl.replace("'", "''")
+            )
+        ctes.append(f"con{n} AS (SELECT doc_id, {expr} AS text_out FROM {src})")
+        src = f"con{n}"
+    return "WITH " + ", ".join(ctes) + f" SELECT doc_id, text_out FROM {src}"
 
 
 _refine_query("refine_remove_contractions", _ref.remove_contractions)
-_ORACLES["refine_remove_contractions"] = (
-    f"SELECT doc_id, {_contractions_sql()} AS text_out FROM documents"
-)
+_ORACLES["refine_remove_contractions"] = _contractions_sql()
 
 _refine_query("refine_stem_words", _ref.stem_words)
 _ORACLES["refine_stem_words"] = r"""

@@ -163,47 +163,59 @@ def pandas_operator(fns: list | None = None) -> Stage:
 
 # --- emoticons / contractions / stemming ------------------------------------
 
-_EMOTICONS = (
-    ":)", ":(", ":D", ":P", ":p", ";)", ":-)", ":-(", ":-D", ":-P", ";-)",
-    ":'(", ":o", ":O", "xD", "XD", "=)", "=(", "<3", "</3", ":|", ":-|",
-    ":/", ":-/", ":\\", "o_O", "O_o", "^_^", "-_-", "T_T",
-)
+from dataflow_spark.operators._emoticon_data import EMOTICONS as _EMOTICONS
 
 
 def remove_emoticons(col) -> Column:
-    """RemoveEmoticonsRefiner (remove_emoticons_refiner.py:9-57): strip a
-    fixed emoticon dictionary (the reference ships a big emoticon dict; this
-    is the common core) — one JVM regex alternation, longest-first so ':-)'
-    wins over ':-'."""
+    """RemoveEmoticonsRefiner (remove_emoticons_refiner.py:9-57): strip the
+    full 221-entry public emoticon dictionary.  Exact reference semantics —
+    the reference loops the dict in insertion order and str.replace()s each
+    key, so this is a chain of LITERAL (non-regex) replaces in that same
+    order; ordering is observable (':)' fires before ':)))' can)."""
+    out = c(col)
+    for e in _EMOTICONS:
+        out = F.replace(out, F.lit(e), F.lit(""))
+    return out
+
+
+from dataflow_spark.operators._contraction_data import CONTRACTIONS as _CONTRACTIONS
+
+
+def contraction_rules() -> list[tuple[str, str]]:
+    """(pattern, replacement) chain for the full 171-entry contraction dict,
+    longest-first (the _contraction_data module is emitted in that order).
+    Case handling mirrors the reference's `contractions.fix`
+    (remove_contractions_refiner.py:1,40) for the dominant case: the first
+    letter is captured case-insensitively and re-emitted, so "Can't" ->
+    "Cannot" while "can't" -> "cannot".  RE2-compatible on purpose (no
+    lookaround, single-digit backrefs) so the DuckDB oracle can run the
+    identical chain.  Divergence note: ALL-CAPS tails ("CAN'T" -> "CAnnot")
+    and leading-apostrophe keys ("'Tis" -> "it is") keep dictionary casing.
+    """
     import re as _re
 
-    alts = sorted(_EMOTICONS, key=len, reverse=True)
-    pat = "|".join(_re.escape(e) for e in alts)
-    return F.regexp_replace(c(col), pat, "")
-
-
-_CONTRACTIONS = {
-    "can't": "cannot", "won't": "will not", "n't": " not",
-    "'re": " are", "'ve": " have", "'ll": " will", "'d": " would",
-    "'m": " am", "let's": "let us", "it's": "it is", "he's": "he is",
-    "she's": "she is", "that's": "that is", "what's": "what is",
-    "who's": "who is", "there's": "there is",
-}
+    rules = []
+    for k, v in _CONTRACTIONS.items():
+        la = r"\b" if k[0].isalnum() else ""
+        ra = r"\b" if k[-1].isalnum() else ""
+        if k[0].isalpha() and k[0].lower() == v[0].lower():
+            pat = f"(?i){la}({_re.escape(k[0])}){_re.escape(k[1:])}{ra}"
+            rules.append((pat, v[1:]))  # replacement = backref-1 + tail
+        else:
+            rules.append((f"(?i){la}{_re.escape(k)}{ra}", None))
+    return rules
 
 
 def remove_contractions(col) -> Column:
     """RemoveContractionsRefiner (remove_contractions_refiner.py:9-43):
-    expand English contractions.  Ordered longest-first chain of JVM
-    regexp_replace calls (case-insensitive, word-boundary anchored) — the
-    reference's `contractions` lib is a dict map; a chain of ~16 replaces
-    stays inside whole-stage codegen."""
-    import re as _re
-
+    expand English contractions — the full public dict, an ordered
+    longest-first chain of JVM regexp_replace calls (stays whole-stage
+    codegen; not on any bench hot path)."""
     out = c(col)
-    for k in sorted(_CONTRACTIONS, key=len, reverse=True):
-        v = _CONTRACTIONS[k]
-        anchor = r"\b" if k[0] != "'" else ""
-        out = F.regexp_replace(out, f"(?i){anchor}{_re.escape(k)}\\b", v)
+    for (k, v), (pat, tail) in zip(_CONTRACTIONS.items(), contraction_rules()):
+        # "$1" + tail is unambiguous: no expansion tail starts with a digit
+        repl = "$1" + tail if tail is not None else v
+        out = F.regexp_replace(out, pat, repl)
     return out
 
 

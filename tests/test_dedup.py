@@ -158,3 +158,26 @@ def test_ngramhash_dedup(spark):
             texts.setdefault(text, seq)
     assert expect_drop.isdisjoint(got)
     assert set(texts.values()) <= set(got) | expect_drop
+
+
+def test_cc_local_vs_distributed_parity(spark):
+    """The numpy local CC kernel and the distributed min-label loop agree on
+    a random graph with chains, stars, and singleton-free components."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40, 1)]            # one long chain
+    edges += [(100, m) for m in range(101, 110)]              # star
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    local = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components_min(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components_min(df, local_threshold=0).collect()
+    }
+    assert local == dist
+    # the chain must collapse to a single component rooted at 0
+    assert {(n, c) for (n, c) in local if n <= 40} == {(n, 0) for n in range(41)}

@@ -29,6 +29,51 @@ def test_refiner_parity(spark, name, oracle_fn):
         assert got[seq] == oracle_fn(text), f"{name} row {seq}: {got[seq]!r} != {oracle_fn(text)!r}"
 
 
+def test_full_emoticon_dict_order_semantics(spark):
+    """The 221-entry dict applies as sequential literal replaces in reference
+    insertion order (remove_emoticons_refiner.py loops EMOTICONS_EMO.keys()).
+    Python oracle = the reference's own loop."""
+    from dataflow_spark.operators._emoticon_data import EMOTICONS
+
+    assert len(EMOTICONS) == 221
+    rows = [("d%d" % i, i, t, "s") for i, t in enumerate([
+        "hi :-))) there :)",      # ':-))' fires before ':-)))' could
+        "wow 8-) X‑D <3 :'(",
+        "no emoticons here.",
+        ":)".join(["a", "b", "c"]),
+        " ".join(EMOTICONS[:40]),
+    ])]
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    out = get_operator("RemoveEmoticonsRefiner", input_key="text").apply(df)
+    got = {r["doc_seq"]: r["text"] for r in out.collect()}
+    for (_, seq, text, _) in rows:
+        want = text
+        for e in EMOTICONS:
+            want = want.replace(e, "")
+        assert got[seq] == want, f"row {seq}: {got[seq]!r} != {want!r}"
+
+
+def test_full_contraction_dict_semantics(spark):
+    """171-entry dict, longest-first, first-letter case preserved."""
+    from dataflow_spark.operators._contraction_data import CONTRACTIONS
+
+    assert len(CONTRACTIONS) >= 150
+    cases = [
+        ("Can't stop won't stop", "Cannot stop will not stop"),
+        ("she'd've known it's fine", "she would have known it is fine"),
+        ("Y'all're here and y'all'd've left", "You all are here and you all would have left"),
+        ("I'm sure they'll've gone", "I am sure they will have gone"),
+        ("the can'toverride token", "the can'toverride token"),  # \b guards
+        ("o'clock and ma'am", "of the clock and madam"),
+    ]
+    rows = [("d%d" % i, i, t, "s") for i, (t, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    out = get_operator("RemoveContractionsRefiner", input_key="text").apply(df)
+    got = {r["doc_seq"]: r["text"] for r in out.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
 def test_refiner_chain_parity(spark):
     """Chained refiners compose like sequential reference steps."""
     rows = make_docs(n=60)
