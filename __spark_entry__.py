@@ -994,6 +994,108 @@ def media_image_features(spark, sf_dir):
 
 
 @q(
+    "media_image_features_ppm",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             4 + doc_id % 8 AS w, 4 + doc_id % 5 AS h,
+             doc_id % 256 AS r, (doc_id * 3) % 256 AS g, (doc_id * 7) % 256 AS b
+      FROM documents
+    )
+    SELECT doc_id, h::INT AS height, w::INT AS width,
+           r / 1.0 AS mean_r, g / 1.0 AS mean_g, b / 1.0 AS mean_b,
+           (r + g + b) / 3.0 AS brightness
+    FROM t
+    """,
+)
+def media_image_features_ppm(spark, sf_dir):
+    """REAL binary-netpbm decode (multimodal.py:_decode_ppm) under a
+    closed-form oracle: each row synthesizes a constant-color P6 image whose
+    per-channel means and brightness the oracle computes algebraically.
+    Channel means are exact integers in f64; brightness is the correctly
+    rounded quotient of the same rational on both engines — bit-exact, no
+    rounding helpers."""
+    from dataflow_spark.operators.multimodal import image_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for s in pdf["doc_id"]:
+                s = int(s)
+                w, h = 4 + s % 8, 4 + s % 5
+                rgb = np.array([s % 256, s * 3 % 256, s * 7 % 256], dtype=np.uint8)
+                px = np.broadcast_to(rgb, (h, w, 3))
+                payloads.append(
+                    b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px).tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ppm = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return image_features(ppm, fake=False)
+
+
+@q(
+    "media_audio_features_wav",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             (doc_id * 37) % 20000 - 10000 AS c,
+             256 + (doc_id % 64) * 4 AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           n::INT AS n_samples,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           n / 8000.0 AS duration_sec,
+           abs(c) / 32768.0 AS rms,
+           abs(c) / 32768.0 AS peak,
+           0.0 AS zero_cross_rate
+    FROM t
+    """,
+)
+def media_audio_features_wav(spark, sf_dir):
+    """REAL PCM-WAV decode (stdlib wave, multimodal.py:_decode_wav) under a
+    closed-form oracle: each row synthesizes a constant-amplitude mono WAV
+    (c = doc_id*37 % 20000 - 10000 at 8 kHz, n = 256 + doc_id%64*4
+    samples), round-trips it through wave-encode -> audio_features, and the
+    oracle computes the same features algebraically (rms = peak = |c|/2^15,
+    exact in f64 — no rounding anywhere, the hash compare is bit-exact)."""
+    from dataflow_spark.operators.multimodal import audio_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(it):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for s in pdf["doc_id"]:
+                c = int(s) * 37 % 20000 - 10000
+                n = 256 + (int(s) % 64) * 4
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(np.full(n, c, dtype="<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_features(wav)
+
+
+@q(
     "events_sliding_window",
     """
     WITH e AS (

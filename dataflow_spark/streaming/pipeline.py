@@ -317,15 +317,21 @@ def idempotent_parquet_sink(out_dir: str, metrics_path: str | None = None):
         if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
             return  # replayed batch — already durable
         out = df.withColumn("part_id", F.spark_partition_id())
+        if metrics_path:
+            # persist so the metrics agg reads the SAME materialized
+            # partitions the write saw (stable part_id) without re-reading
+            # the just-written files from disk or re-running the upstream
+            # stateful plan — one extra in-memory agg job, no second scan.
+            out = out.persist()
         out.write.mode("overwrite").parquet(batch_dir)
         if metrics_path:
-            written = df.sparkSession.read.parquet(batch_dir)
             tok = (
-                F.sum("n_tok") if "n_tok" in written.columns else F.lit(0)
+                F.sum("n_tok") if "n_tok" in out.columns else F.lit(0)
             ).alias("tokens")
-            stats = written.groupBy("part_id").agg(
+            stats = out.groupBy("part_id").agg(
                 F.count("*").alias("rows"), tok
             ).collect()
+            out.unpersist()
             rec = {
                 "batch_id": batch_id,
                 "rows": int(sum(r["rows"] for r in stats)),

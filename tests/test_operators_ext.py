@@ -73,9 +73,83 @@ def test_frame_sample(spark):
 
 
 def test_real_decode_is_marked_stub(spark):
+    """Formats needing a codec lib (raw bytes here look like none of the
+    stdlib-decodable magics) still raise with guidance."""
     with pytest.raises(Exception) as ei:
         mm.image_features(_media_df(spark, 1), fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def _ppm_bytes(px):
+    h, w, _ = px.shape
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def _bmp_bytes(px):
+    import struct
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = row[:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(hdr + body)
+
+
+def _wav_bytes(samples, rate=8000, nch=1):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_ppm_and_bmp_decode(spark):
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(7, 5, 3)).astype(np.uint8)
+    rows = [("ppm0", _ppm_bytes(px)), ("bmp0", _bmp_bytes(px))]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("payload", T.BinaryType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {r.doc_id: r for r in mm.image_features(df, fake=False).collect()}
+    for k in ("ppm0", "bmp0"):
+        r = out[k]
+        assert (r.height, r.width) == (7, 5), k
+        assert abs(r.mean_r - px[..., 0].mean()) < 1e-9, k
+        assert abs(r.brightness - px.astype(np.float64).mean()) < 1e-9, k
+    # round-trip equality between the two encodings of the same pixels
+    assert np.array_equal(mm._decode_ppm(rows[0][1]), mm._decode_bmp(rows[1][1]))
+
+
+def test_real_wav_audio_features(spark):
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype("<i2")
+    silent = np.zeros(400, dtype="<i2")
+    rows = [("a0", _wav_bytes(sine, rate)), ("a1", _wav_bytes(silent, rate))]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("payload", T.BinaryType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {r.doc_id: r for r in mm.audio_features(df).collect()}
+    a0 = out["a0"]
+    assert a0.n_samples == rate and a0.n_channels == 1 and a0.sample_rate == rate
+    assert abs(a0.duration_sec - 1.0) < 1e-9
+    # 440 Hz sine: RMS = amp/sqrt(2), ~2*440 zero crossings/sec
+    assert abs(a0.rms - (20000 / 32768.0) / np.sqrt(2)) < 1e-3
+    assert abs(a0.zero_cross_rate - 2 * 440 / rate) < 0.01
+    a1 = out["a1"]
+    assert a1.rms == 0.0 and a1.n_samples == 400
 
 
 # ---------------------------------------------------------------------------
