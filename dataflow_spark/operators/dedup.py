@@ -424,14 +424,39 @@ def _minhash_from_hashes(
     bucket_cap: int = 100_000,
     n_salt: int = 16,
 ) -> DataFrame:
+    edges = minhash_candidate_edges(
+        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap, n_salt
+    )
+    return keep_cluster_min(df, edges, seq_col)
+
+
+def minhash_candidate_edges(
+    df: DataFrame,
+    shingle_hashes,
+    seq_col: str,
+    num_perm: int,
+    bands: int,
+    seed: int,
+    bucket_cap: int = 100_000,
+    n_salt: int = 16,
+) -> DataFrame:
+    """The distributed half of MinHash-LSH: signature -> banded buckets ->
+    star edges (a, b).  Split out so the plan-audit tool explains exactly
+    what runs (PLANS.md §MinHash)."""
     band_udf = minhash_band_udf(num_perm, bands, seed)
     sig = df.select(
         F.col(seq_col).alias("_seq"),
         band_udf(shingle_hashes).alias("_bands"),
     )
+    # posexplode_OUTER, then drop the null rows ourselves: a plain posexplode
+    # makes InferFiltersFromGenerate add `size(_bands) > 0` BELOW the
+    # generate, and ExtractPythonUDFs then plans the signature UDF twice —
+    # once for the inferred filter, once for the generate (verified in
+    # PLANS.md; the outer variant is exempt from that inference).  Cost: one
+    # null row per empty doc instead of a full second UDF pass.
     exploded = sig.select(
-        "_seq", F.posexplode("_bands").alias("band_id", "band_hash")
-    )
+        "_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
+    ).where(F.col("band_id").isNotNull())
     # ONE logical pass per bucket (no roots-then-join double-execution of the
     # signature UDF), as a SALTED two-level aggregation so no single agg
     # buffer is unbounded:
@@ -461,14 +486,13 @@ def _minhash_from_hashes(
         F.flatten(F.collect_list("_mem_s")).alias("_members"),
         F.sum("_n_s").alias("_n"),
     )
-    edges = (
+    return (
         buckets.where(F.col("_n") <= bucket_cap)
         .select("_root", F.explode("_members").alias("a"))
         .where(F.col("a") != F.col("_root"))
         .select("a", F.col("_root").alias("b"))
         .distinct()
     )
-    return keep_cluster_min(df, edges, seq_col)
 
 
 def minhash_dropped_buckets(
@@ -497,7 +521,10 @@ def minhash_dropped_buckets(
     band_udf = minhash_band_udf(num_perm, bands, seed)
     sig = df.select(F.col(seq_col).alias("_seq"), band_udf(shingle_hashes).alias("_bands"))
     return (
-        sig.select(F.posexplode("_bands").alias("band_id", "band_hash"))
+        # outer + null-drop: same double-UDF-eval avoidance as
+        # _minhash_from_hashes
+        sig.select(F.posexplode_outer("_bands").alias("band_id", "band_hash"))
+        .where(F.col("band_id").isNotNull())
         .groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("size"))
         .where(F.col("size") > bucket_cap)

@@ -179,7 +179,12 @@ def embedding_near_dup(
     probe_udf = lsh_probe_buckets_udf(planes, n_probe)
     b = df.select(
         F.col(id_col).alias("_seq"), F.col(vec_col).alias("_v")
-    ).select("_seq", "_v", F.explode(probe_udf(F.col("_v"))).alias("_bucket"))
+    ).select(
+        # explode_outer + null-drop: plain explode makes
+        # InferFiltersFromGenerate add size(udf(..))>0 below the generate and
+        # the probe UDF gets planned twice (see dedup.py:_minhash_from_hashes)
+        "_seq", "_v", F.explode_outer(probe_udf(F.col("_v"))).alias("_bucket")
+    ).where(F.col("_bucket").isNotNull())
     sizes = b.groupBy("_bucket").agg(F.count("*").alias("_n"))
     b = b.join(sizes.where(F.col("_n") <= bucket_cap), "_bucket")
     left = b.select("_bucket", F.col("_seq").alias("a"), F.col("_v").alias("va"))

@@ -251,8 +251,11 @@ def near_dup_candidates_stream(
             "doc_id",
             "doc_seq",
             "event_time",
-            F.posexplode("_bands").alias("band_id", "band_hash"),
+            # outer + null-drop: avoids the inferred size(_bands)>0 filter
+            # that would plan the signature UDF twice (dedup.py rationale)
+            F.posexplode_outer("_bands").alias("band_id", "band_hash"),
         )
+        .where(F.col("band_id").isNotNull())
         .withWatermark("event_time", watermark_delay)
     )
     left = banded.select(
@@ -457,8 +460,10 @@ def streaming_minhash_dedup_decisions(
             "doc_id",
             "doc_seq",
             "event_time",
-            F.posexplode("_bands").alias("band_id", "band_hash"),
+            # outer + null-drop: see dedup.py double-UDF-eval rationale
+            F.posexplode_outer("_bands").alias("band_id", "band_hash"),
         )
+        .where(F.col("band_id").isNotNull())
         .withColumn(
             "shard",
             (F.col("band_id") * n_shards + F.pmod(F.col("band_hash"), F.lit(n_shards))).cast("int"),
@@ -562,7 +567,9 @@ def run_near_dedup_stream_exact(
         sh = token_shingle_hashes(F.col("tokens"), token_ngram)
         return df.select(
             "doc_seq", band_udf(sh).alias("_bands")
-        ).select("doc_seq", F.posexplode("_bands").alias("band_id", "band_hash"))
+        ).select(
+            "doc_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
+        ).where(F.col("band_id").isNotNull())
 
     def sink(df: DataFrame, batch_id: int):
         df = df.persist()
