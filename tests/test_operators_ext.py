@@ -318,3 +318,13 @@ def test_bench_accuracy(spark):
     assert (overall.accuracy, overall.n) == (pytest.approx(2 / 3, abs=1e-6), 3)
     per = {r.grp: r.accuracy for r in bench_accuracy(df, "pred", "gt", "grp").collect()}
     assert per == {"s1": 0.5, "s2": 1.0}
+
+
+def test_jdbc_source_gate(spark):
+    """Paged reader raises the jar-gate error (driver absent here); the
+    partitioned-read contract is in the docstring/options construction."""
+    with pytest.raises(NotImplementedError) as ei:
+        src_io.jdbc_source(
+            spark, "jdbc:clickhouse://host:8123/db", "docs", upper_bound=1000
+        )
+    assert "classpath" in str(ei.value)

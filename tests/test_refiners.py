@@ -85,3 +85,31 @@ def test_refiner_chain_parity(spark):
     for (_, seq, text, _) in rows:
         want = rules.remove_extra_spaces(rules.lowercase(rules.remove_html_url(text)))
         assert got[seq] == want
+
+
+def test_contraction_rules_no_key_survives_and_idempotent():
+    """Pure-Python mirror of the regexp_replace chain: after one pass no
+    dictionary key survives as a standalone token, so a second pass is a
+    no-op (expansions contain no contractions).  Catches longest-first
+    ordering mistakes (e.g. \"n't\"-style masking) without needing Spark."""
+    import re
+
+    from dataflow_spark.operators._contraction_data import CONTRACTIONS
+    from dataflow_spark.operators.refiners import contraction_rules
+
+    def apply_chain(text):
+        for (k, v), (pat, tail) in zip(CONTRACTIONS.items(), contraction_rules()):
+            repl = (r"\1" + tail) if tail is not None else v
+            text = re.sub(pat, repl, text)
+        return text
+
+    # every key embedded in a sentence, upper/lower first letter
+    for k in CONTRACTIONS:
+        for probe in (f"well {k} indeed", f"{k[0].upper() + k[1:]} indeed"):
+            out = apply_chain(probe)
+            assert "'" not in out or not re.search(
+                r"(?i)(?<![\w'])" + re.escape(k) + r"(?![\w'])", out
+            ), f"key {k!r} survived: {out!r}"
+    sample = "Can't won't y'all'd've gonna o'clock it's I'm daren't"
+    once = apply_chain(sample)
+    assert apply_chain(once) == once
