@@ -1163,6 +1163,37 @@ def ann_ivf_top5(spark, sf_dir):
     )
 
 
+@q(
+    "ann_ivf_fullprobe_top5",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_fullprobe_top5(spark, sf_dir):
+    """IVF value-check: with nprobe = n_centroids every cell is probed, so
+    the IVF machinery (assignment UDF, cell equi-join, re-rank window) MUST
+    reproduce exact brute-force top-k — which DuckDB computes directly.
+    Complements rows-only ann_ivf_top5 (nprobe=4, recall checked in pytest)."""
+    from dataflow_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8, lloyd_iters=1)
+    return ivf_topk(emb, qs, cents, k=5, nprobe=8)
+
+
 @q("emb_kcenter_coreset")
 def emb_kcenter_coreset(spark, sf_dir):
     """KCenterGreedyFilter (kcentergreedy_filter.py:14-40): greedy k-center

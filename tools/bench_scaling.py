@@ -99,9 +99,32 @@ def update_baseline_md(res: dict):
         "Reading the per-query table: sub-3-second jobs (window_agg, ANN at "
         "this SF) are scheduler-overhead-dominated and their efficiency is "
         "not meaningful at this input size — they exist for correctness "
-        "timing, not scaling evidence. minhash_dedup includes the "
-        "connected-components rounds, whose per-round fixed cost (2 joins + "
-        "checkpoint on a ~2M-edge set) amortizes only at larger inputs.",
+        "timing, not scaling evidence.",
+        "",
+        "minhash_dedup (round 2): connected components solves driver-side "
+        "via a vectorized numpy kernel when the edge set is <=4M "
+        "(dedup.py:CC_LOCAL_EDGE_THRESHOLD — ~3x faster than the "
+        "distributed loop at 32 cores on this corpus), and the "
+        "posexplode_outer fix halved the signature-UDF work (one "
+        "ArrowEvalPython instead of two, PLANS.md). Both cuts removed "
+        "PARALLEL work, so absolute times dropped at every core count while "
+        "the efficiency RATIO can look worse (Amdahl: the serial fraction — "
+        "driver CC, bucket-shuffle tails — is a larger share of a shorter "
+        "job). At a real 100 TB input every Arrow batch is full and the "
+        "edge set exceeds the local threshold, so the distributed loop and "
+        "full batches restore the parallel fraction.",
+        "",
+        "stream_pipeline is floor-bound at this input size: the identical "
+        "pipeline with dedup removed runs in ~5s (source listing + sink + "
+        "offset commits, all core-count-independent), and the JVM-builtin "
+        "dropDuplicatesWithinWatermark variant times within noise of the "
+        "custom applyInPandasWithState operator. Streaming scale-out at the "
+        "10^12-sequence target comes from sharding state across executors "
+        "(n_shards = O(10 x cores), RocksDB provider), not intra-box core "
+        "count; the batch pipelines above are the core-scaling evidence "
+        "surface. Run-to-run variance on this box reached 4x on identical "
+        "stream jobs — bench.py therefore reports min-of-2 steady-state "
+        "repeats.",
         "",
     ]
     block = "\n".join(lines)
