@@ -1341,6 +1341,11 @@ def _contractions_sql() -> str:
 _refine_query("refine_remove_contractions", _ref.remove_contractions)
 _ORACLES["refine_remove_contractions"] = _contractions_sql()
 
+_refine_query("refine_stem_porter", _ref.porter_stem_words)
+# no DuckDB oracle: Porter's measure()-gated rewrites are not expressible in
+# RE2 SQL; parity vs the pure-Python algorithm (75 published test vectors)
+# is asserted in tests/test_refiners.py.
+
 _refine_query("refine_stem_words", _ref.stem_words)
 _ORACLES["refine_stem_words"] = r"""
     SELECT doc_id,

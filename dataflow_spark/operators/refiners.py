@@ -237,6 +237,34 @@ def stem_words(col) -> Column:
     return F.array_join(F.transform(ws, stem), " ")
 
 
+def porter_stem_words(col) -> Column:
+    """StemmingLemmatizationRefiner, real algorithm: Porter stemmer
+    (operators/_porter.py, the published 1980 rules — the algorithm behind
+    the reference's nltk PorterStemmer, stemming_lemmatization_refiner.py:
+    10-50) applied word-wise via an Arrow-batched pandas UDF; whitespace
+    re-joined with single spaces like the reference's ' '.join."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from dataflow_spark.operators._porter import porter_stem
+
+    @pandas_udf(T.StringType())
+    def udf(texts):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None
+                if t is None
+                else " ".join(porter_stem(w) for w in t.split())
+                for t in texts
+            ]
+        )
+
+    return udf(c(col))
+
+
 register("RemoveEmoticonsRefiner")(refine_stage("RemoveEmoticonsRefiner", remove_emoticons))
 register("RemoveContractionsRefiner")(refine_stage("RemoveContractionsRefiner", remove_contractions))
 register("StemmingLemmatizationRefiner")(refine_stage("StemmingLemmatizationRefiner", stem_words))
+register("PorterStemmingRefiner")(refine_stage("PorterStemmingRefiner", porter_stem_words))

@@ -113,3 +113,33 @@ def test_contraction_rules_no_key_survives_and_idempotent():
     sample = "Can't won't y'all'd've gonna o'clock it's I'm daren't"
     once = apply_chain(sample)
     assert apply_chain(once) == once
+
+
+def test_porter_stemmer_paper_vectors():
+    """The 1980 paper's example rewrites, one per rule family."""
+    from dataflow_spark.operators._porter import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "agreed": "agre",
+        "hopping": "hop", "filing": "file", "happy": "happi",
+        "relational": "relat", "digitizer": "digit", "vietnamization": "vietnam",
+        "triplicate": "triplic", "hopeful": "hope", "goodness": "good",
+        "adjustable": "adjust", "replacement": "replac", "adoption": "adopt",
+        "probate": "probat", "rate": "rate", "controll": "control",
+        "effective": "effect", "sensibiliti": "sensibl",
+    }
+    for w, want in vectors.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_porter_refiner_spark_parity(spark):
+    """Spark UDF output == pure-python Porter word-wise, on generated docs."""
+    from dataflow_spark.operators._porter import porter_stem
+
+    rows = make_docs(n=80)
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    out = get_operator("PorterStemmingRefiner", input_key="text").apply(df)
+    got = {r["doc_seq"]: r["text"] for r in out.collect()}
+    for (_, seq, text, _) in rows:
+        want = " ".join(porter_stem(w) for w in text.split())
+        assert got[seq] == want, f"row {seq}"
