@@ -810,6 +810,124 @@ def pipeline_pt_filter(spark, sf_dir):
     return df.select("doc_id", "source")
 
 
+def pipeline_text_pt_reference(spark, sf_dir):
+    """The reference's shipped CPU pipeline, operator-for-operator
+    (statics/pipelines/cpu_pipelines/text_pt_filter.py): RemoveEmojiRefiner ->
+    HtmlUrlRemoverRefiner -> RemoveExtraSpacesRefiner -> dedup -> the full
+    20-filter chain with the pipeline's exact parameters (which are also this
+    engine's defaults).  One substitution, documented: the reference's
+    MinHashDeduplicateFilter step is stood in by exact md5 dedup so the
+    composed oracle stays SQL-expressible — minhash itself is value-checked
+    by its own gate entry (dedup_minhash_lsh); on a corpus with no near-dup
+    pairs the two coincide.  Blocklist content is the engine demo list (the
+    reference loads its en.txt wordlist file).  One parameter adapted:
+    min_sentences=1 (reference: 3) — this corpus has no sentence punctuation,
+    so the reference value rejects every row and the composed check would be
+    a vacuous 0==0; at 1 the step stays live and the other 19 predicates do
+    the discriminating."""
+    from dataflow_spark.operators import dedup as _dd
+    from dataflow_spark.operators import filters as _f
+    from dataflow_spark.operators import refiners as _r
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("doc_id").cast("long").alias("doc_seq"),
+        "source",
+        _r.remove_extra_spaces(
+            _r.remove_html_url(_r.remove_emoji(F.col("text")))
+        ).alias("text"),
+    )
+    df = _dd.exact_dedup(df, keys=("text",))
+    for cond in (
+        _f.keep_blocklist("text", _BLOCK, 1),
+        _f.keep_word_number("text"),
+        _f.keep_colon_end("text"),
+        _f.keep_sentence_number("text", min_sentences=1),
+        _f.keep_line_end_ellipsis("text"),
+        _f.keep_content_not_null("text"),
+        _f.keep_mean_word_length("text"),
+        _f.keep_symbol_word_ratio("text"),
+        _f.keep_html_entity("text"),
+        _f.keep_no_punc("text"),
+        _f.keep_special_character("text"),
+        _f.keep_watermark("text"),
+        _f.keep_curly_bracket("text"),
+        _f.keep_capital_words("text"),
+        _f.keep_lorem_ipsum("text"),
+        _f.keep_unique_words("text"),
+        _f.keep_char_number("text"),
+        _f.keep_line_start_bullet("text"),
+        _f.keep_line_javascript("text"),
+    ):
+        df = df.where(cond)
+    return df.select("doc_id", "source", F.col("text").alias("text_out"))
+
+
+def _pipeline_text_pt_oracle() -> str:
+    from dataflow_spark.operators import filters as _flt2
+    from dataflow_spark.operators import refiners as _ref2
+
+    refine = (
+        r"trim(regexp_replace("                                   # extra spaces
+        r"regexp_replace(regexp_replace("                          # url, tags
+        "regexp_replace(text, '" + _ref2._EMOJI_RANGES.replace("'", "''") + "', '', 'g')"
+        r", 'https?://\S+', '', 'g'), '<[^>]*>', '', 'g')"
+        r", '\s+', ' ', 'g'))"
+    )
+    W = r"regexp_extract_all(text, '\S+')"
+    preds = [
+        rf"len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> list_contains({_BLOCK_SQL}, w))) <= 1",
+        rf"len({W}) >= 20 AND len({W}) < 100000",
+        "NOT ends_with(text, ':')",
+        r"len(regexp_extract_all(text, '\b[^.!?\n]+[.!?]*')) BETWEEN 1 AND 7500",
+        r"""(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) = 0 OR
+            len(list_filter(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''),
+                l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::DOUBLE
+              / len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) < 0.3)""",
+        "text IS NOT NULL AND trim(text) <> ''",
+        rf"""len({W}) > 0
+            AND round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / len({W}), 2) >= 3.0
+            AND round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / len({W}), 2) < 10.0""",
+        r"""(len(regexp_extract_all(text, '\w+|[^\w\s]+')) = 0 OR
+            ((length(text) - length(replace(text, '#', ''))) +
+             (length(text) - length(replace(text, '...', ''))) / 3 +
+             (length(text) - length(replace(text, '…', ''))))::DOUBLE
+              / len(regexp_extract_all(text, '\w+|[^\w\s]+')) < 0.4)""",
+        "NOT regexp_matches(text, '" + _flt2._ENTITY_RE.replace("'", "''") + "')",
+        r"""(len(text) = 0 OR coalesce(list_max(list_transform(
+            string_split_regex(text, '[\.\!\?\;\:\,\n]'),
+            s -> len(regexp_extract_all(s, '\S+')))), 0) <= 112)""",
+        " AND ".join(
+            "NOT regexp_matches(text, '" + p.replace("'", "''") + "')"
+            for p in _flt2._SPECIAL_CHAR_RES
+        ),
+        "NOT contains(text, 'Copyright') AND NOT contains(text, 'Watermark') AND NOT contains(text, 'Confidential')",
+        "(length(text) > 0 AND (length(text) - length(translate(text, '{}', ''))) / length(text) < 0.025)",
+        rf"""(len({W}) = 0 OR
+            len(list_filter({W}, w -> w = upper(w) AND regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+              / len({W}) <= 0.2)""",
+        """(length(text) > 0 AND
+            ((length(lower(text)) - length(replace(lower(text), 'lorem ipsum', ''))) / 11)
+              / length(text) <= 3e-8)""",
+        rf"len({W}) > 0 AND len(list_distinct({W}))::DOUBLE / len({W}) > 0.1",
+        r"length(regexp_replace(text, '\s', '', 'g')) >= 100",
+        rf"""(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) = 0 OR
+            len(list_filter(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''),
+                l -> list_contains({_BULLETS_SQL}, substr(ltrim(l), 1, 1))))::DOUBLE
+              / len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) <= 0.9)""",
+        """(len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) <= 3
+            OR len(list_filter(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''),
+                   l -> NOT contains(lower(l), 'javascript'))) >= 3)""",
+    ]
+    where = " AND ".join(f"({p})" for p in preds)
+    return f"""
+    WITH refined AS (SELECT doc_id, source, {refine} AS text FROM documents),
+    keyed AS (SELECT min(doc_id) AS doc_id FROM refined GROUP BY md5(text)),
+    sv AS (SELECT r.doc_id, r.source, r.text FROM refined r JOIN keyed USING (doc_id))
+    SELECT doc_id, source, text AS text_out FROM sv WHERE {where}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
@@ -1501,3 +1619,8 @@ def text2sql_executability(spark, sf_dir):
     return sql_executability_filter(
         g, setup_sql="CREATE TABLE t (v INTEGER)"
     ).select("doc_id")
+
+# registered last: _pipeline_text_pt_oracle needs _BLOCK_SQL/_BULLETS_SQL
+# from the extended-coverage section above
+_QUERIES["pipeline_text_pt_reference"] = pipeline_text_pt_reference
+_ORACLES["pipeline_text_pt_reference"] = _pipeline_text_pt_oracle()
