@@ -1624,3 +1624,401 @@ def text2sql_executability(spark, sf_dir):
 # from the extended-coverage section above
 _QUERIES["pipeline_text_pt_reference"] = pipeline_text_pt_reference
 _ORACLES["pipeline_text_pt_reference"] = _pipeline_text_pt_oracle()
+
+
+# ---------------------------------------------------------------------------
+# code operator family (reference operators/code + code_pt_filter.py pipeline)
+# ---------------------------------------------------------------------------
+
+from dataflow_spark.operators import code as _code  # noqa: E402
+
+# deterministic synthetic code-corpus metadata over documents: language /
+# filetype / filename derived from doc_id, reproducible verbatim in SQL
+_LANGS = ("Python", "JSON", "Text", "Motorola 68K Assembly")
+_FTYPES = ("python", "json", "text", "html")
+
+
+def _code_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lang = F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (F.col("doc_id") % 4 + 1).cast("int"))
+    ft = F.element_at(F.array(*[F.lit(x) for x in _FTYPES]), (F.col("doc_id") % 4 + 1).cast("int"))
+    fname = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("readme")).otherwise(F.lit("file")),
+        F.col("doc_id").cast("string"), F.lit("."),
+        F.element_at(F.array(F.lit("py"), F.lit("json"), F.lit("txt"), F.lit("html")), (F.col("doc_id") % 4 + 1).cast("int")),
+    )
+    return d.select(
+        "doc_id", "source", "text",
+        lang.alias("language"), ft.alias("filetype"), fname.alias("filename"),
+        F.size(F.split(F.col("text"), "\n")).alias("line_count"),
+        (F.col("doc_id") % 700).cast("int").alias("visible_text_length"),
+        F.greatest(F.length("text"), F.lit(1)).cast("int").alias("total_code_length"),
+    )
+
+
+_CODE_META_SQL = """
+    SELECT doc_id, source, text,
+      ['Python','JSON','Text','Motorola 68K Assembly'][(doc_id % 4 + 1)::INT] AS language,
+      ['python','json','text','html'][(doc_id % 4 + 1)::INT] AS filetype,
+      (CASE WHEN doc_id % 3 = 0 THEN 'readme' ELSE 'file' END) || doc_id ||
+        '.' || ['py','json','txt','html'][(doc_id % 4 + 1)::INT] AS filename,
+      len(string_split(text, chr(10)))::INT AS line_count,
+      (doc_id % 700)::INT AS visible_text_length,
+      greatest(length(text), 1)::INT AS total_code_length
+    FROM documents
+"""
+
+
+@q(
+    "code_autogen_score",
+    f"""
+    WITH c AS ({_CODE_META_SQL}),
+    t AS (
+      SELECT doc_id,
+        lower(array_to_string(list_slice(string_split(text, chr(10)), 1, 5), chr(10))) AS f5
+      FROM c
+    )
+    SELECT doc_id,
+      ((CASE WHEN contains(f5, 'auto-generated') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(f5, 'autogenerated') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(f5, 'automatically generated') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(f5, 'generated automatically') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(f5, 'this file is generated') THEN 1 ELSE 0 END)) AS marker_count,
+      (CASE WHEN ((CASE WHEN contains(f5, 'auto-generated') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(f5, 'autogenerated') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(f5, 'automatically generated') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(f5, 'generated automatically') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(f5, 'this file is generated') THEN 1 ELSE 0 END)) = 0
+       THEN 1.0 ELSE 0.0 END) AS autogen_score
+    FROM t
+    """,
+)
+def code_autogen_score(spark, sf_dir):
+    """CodeAutoGeneratedSampleEvaluator (code_auto_generated_sample_evaluator
+    .py:18-92): marker presence in the lowercased first 5 lines."""
+    return _code_docs(spark, sf_dir).select(
+        "doc_id",
+        _code.autogen_marker_count("text").alias("marker_count"),
+        _code.autogen_score("text").alias("autogen_score"),
+    )
+
+
+@q(
+    "code_length_metrics",
+    f"""
+    WITH c AS ({_CODE_META_SQL}),
+    t AS (
+      SELECT doc_id, language,
+        string_split(text, chr(10)) AS ls
+      FROM c
+    ),
+    m AS (
+      SELECT doc_id, language, len(ls) AS n_lines,
+        coalesce(list_sum(list_transform(ls, l -> length(l))), 0)::DOUBLE
+          / greatest(1, len(ls)) AS avg_line_len,
+        coalesce(list_max(list_transform(ls, l -> length(l))), 0) AS max_line_len
+      FROM t
+    )
+    SELECT doc_id, n_lines::INT AS n_lines, avg_line_len, max_line_len::INT AS max_line_len,
+      (CASE WHEN n_lines > 100000 THEN 0.0
+            WHEN language NOT IN ('HTML','JSON','Markdown','Roff','Roff Manpage','SMT','TeX','Text','XML')
+                 AND (avg_line_len > 100 OR max_line_len > 1000) THEN 0.0
+            WHEN language IN ('HTML','JSON','Markdown','Roff','Roff Manpage','SMT','TeX','Text','XML')
+                 AND max_line_len > 100000 THEN 0.0
+            ELSE 1.0 END) AS length_score
+    FROM m
+    """,
+)
+def code_length_metrics(spark, sf_dir):
+    """CodeLengthSampleEvaluator (code_length_sample_evaluator.py:80-108)."""
+    d = _code_docs(spark, sf_dir)
+    n, avg, mx = _code.length_metrics("text")
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_lines"),
+        avg.alias("avg_line_len"),
+        mx.cast("int").alias("max_line_len"),
+        _code.length_score("text", "language").alias("length_score"),
+    )
+
+
+@q(
+    "code_text_composition",
+    f"""
+    WITH c AS ({_CODE_META_SQL})
+    SELECT doc_id,
+      (length(text) - length(regexp_replace(text, '\\p{{L}}', '', 'g')))::DOUBLE
+        / greatest(1, length(text)) AS alpha_ratio,
+      (length(text) - length(regexp_replace(text, '[\\p{{L}}\\p{{N}}]', '', 'g')))::DOUBLE
+        / greatest(1, length(text)) AS alnum_ratio,
+      (CASE
+        WHEN language IN ('Motorola 68K Assembly', 'WebAssembly')
+             AND (length(text) - length(regexp_replace(text, '[\\p{{L}}\\p{{N}}]', '', 'g')))::DOUBLE
+                 / greatest(1, length(text)) < 0.25 THEN 0.0
+        WHEN language NOT IN ('Motorola 68K Assembly', 'WebAssembly')
+             AND (length(text) - length(regexp_replace(text, '\\p{{L}}', '', 'g')))::DOUBLE
+                 / greatest(1, length(text)) < 0.25 THEN 0.0
+        ELSE 1.0 END) AS composition_score
+    FROM c
+    """,
+)
+def code_text_composition(spark, sf_dir):
+    """CodeTextCompositionSampleEvaluator (code_text_composition_sample_
+    evaluator.py:76-95)."""
+    d = _code_docs(spark, sf_dir)
+    alpha, alnum = _code.composition_ratios("text")
+    return d.select(
+        "doc_id",
+        alpha.alias("alpha_ratio"),
+        alnum.alias("alnum_ratio"),
+        _code.composition_score("text", "language").alias("composition_score"),
+    )
+
+
+def _enc_ratio_sql(pat: str) -> str:
+    esc = pat.replace("\\", "\\").replace("'", "''")
+    return (
+        "coalesce(list_sum(list_transform(regexp_extract_all(text, '"
+        + esc
+        + "'), m -> length(m))), 0)::DOUBLE / greatest(1, length(text))"
+    )
+
+
+@q(
+    "code_encoded_data",
+    f"""
+    SELECT doc_id,
+      {_enc_ratio_sql(_code.ENCODED_PATTERNS[0][1])} AS base64_ratio,
+      {_enc_ratio_sql(_code.ENCODED_PATTERNS[1][1])} AS hex_ratio,
+      {_enc_ratio_sql(_code.ENCODED_PATTERNS[2][1])} AS unicode_ratio,
+      (CASE WHEN {_enc_ratio_sql(_code.ENCODED_PATTERNS[0][1])} > 0.5
+              OR {_enc_ratio_sql(_code.ENCODED_PATTERNS[1][1])} > 0.5
+              OR {_enc_ratio_sql(_code.ENCODED_PATTERNS[2][1])} > 0.5
+        THEN 0.0 ELSE 1.0 END) AS encoded_score
+    FROM documents
+    """,
+)
+def code_encoded_data(spark, sf_dir):
+    """CodeEncodedDataSampleEvaluator (code_encoded_data_sample_evaluator.py:
+    79-110): base64/hex/unicode matched-length ratios."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        _code.encoded_ratio("text", _code.ENCODED_PATTERNS[0][1]).alias("base64_ratio"),
+        _code.encoded_ratio("text", _code.ENCODED_PATTERNS[1][1]).alias("hex_ratio"),
+        _code.encoded_ratio("text", _code.ENCODED_PATTERNS[2][1]).alias("unicode_ratio"),
+        _code.encoded_score("text").alias("encoded_score"),
+    )
+
+
+@q(
+    "code_file_type_filter",
+    f"""
+    WITH c AS ({_CODE_META_SQL})
+    SELECT doc_id FROM c
+    WHERE CASE
+      WHEN lower(filetype) IN ('text','json','yaml','web ontology language','graphviz','dot')
+        THEN line_count <= 512
+      WHEN lower(filetype) = 'html'
+        THEN visible_text_length >= 100
+             AND visible_text_length::DOUBLE / greatest(total_code_length, 1) >= 0.2
+      WHEN lower(filetype) = 'text'
+        THEN contains(lower(filename), 'requirement')
+             OR regexp_replace(lower(filename), '\\.[^.]*$', '') IN
+                ('readme','notes','todo','description','cmakelists')
+      ELSE TRUE END
+    """,
+)
+def code_file_type_filter(spark, sf_dir):
+    """CodeFileTypeContentFilter (code_file_type_content_filter.py:83-137),
+    including the reference's dead Text-filename branch (see operators/code
+    docstring)."""
+    d = _code_docs(spark, sf_dir)
+    return d.where(
+        _code.keep_file_type_content(
+            "filetype", "filename", "line_count",
+            "visible_text_length", "total_code_length",
+        )
+    ).select("doc_id")
+
+
+_DQ_WS = "regexp_extract_all(text, '[0-9A-Za-z_]+')"
+_DQ_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, text,
+        {_DQ_WS} AS ws,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> l <> '') AS ls
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        length(text) AS num_chars,
+        len(ws) AS num_words,
+        CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+          len(list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1))::DOUBLE
+            / len(ls) END AS frac_dup_lines,
+        CASE WHEN length(text) = 0 THEN 0.0 ELSE
+          ((length(text) - length(replace(text, '{{', ''))) +
+           (length(text) - length(replace(text, '}}', ''))))::DOUBLE / length(text)
+          END AS frac_curly,
+        CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+          len(list_filter(ws, x -> x = upper(x) AND length(x) > 1
+                                    AND regexp_matches(x, '[A-Za-z]')))::DOUBLE
+            / len(ws) END AS frac_caps,
+        CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+          round(-list_sum(list_transform(list_distinct(ws),
+            d -> (len(list_filter(ws, x -> x = d))::DOUBLE / len(ws))
+                 * log2(len(list_filter(ws, x -> x = d))::DOUBLE / len(ws)))), 6)
+          END AS entropy,
+        CASE WHEN len(ws) < 2 THEN 0.0 ELSE (
+          SELECT CASE WHEN len(gs) = 0 THEN 0.0 ELSE
+            len(list_filter(gs, g -> len(list_filter(gs, x -> x = g)) > 1))::DOUBLE / len(gs) END
+          FROM (SELECT list_transform(range(1, len(ws) - 2 + 2),
+                       i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS gs)
+        ) END AS frac_dup_2gram
+      FROM w
+    )
+    SELECT doc_id, num_chars, num_words, frac_dup_lines, frac_curly, frac_caps,
+           entropy, frac_dup_2gram
+    FROM m
+"""
+
+
+@q("code_doc_quality", _DQ_SQL)
+def code_doc_quality(spark, sf_dir):
+    """CodeDocumentQualitySampleEvaluator metrics (code_document_quality_
+    sample_evaluator.py:99-178) — chars/words/dup-line/curly/caps fractions,
+    unigram entropy (rounded to 6 so summation order can't flip the hash),
+    and the 2-gram duplicate fraction as the n-gram representative (the
+    DuckDB mirror is O(n^2) list algebra; n=3..10 are the same shape)."""
+    d = _docs(spark, sf_dir)
+    dq = _code.doc_quality_udf(_code.DOC_QUALITY_DEFAULTS)(F.col("text"))
+    return d.select(
+        "doc_id",
+        dq.getField("num_chars").alias("num_chars"),
+        dq.getField("num_words").alias("num_words"),
+        dq.getField("frac_dup_lines").alias("frac_dup_lines"),
+        dq.getField("frac_curly").alias("frac_curly"),
+        dq.getField("frac_caps").alias("frac_caps"),
+        F.round(dq.getField("entropy"), 6).alias("entropy"),
+        dq.getField("frac_dup_2gram").alias("frac_dup_2gram"),
+    )
+
+
+def _dq_ngram_frac_sql(n: int) -> str:
+    return f"""(
+      CASE WHEN len(ws) < {n} THEN 0.0 ELSE (
+        SELECT CASE WHEN len(gs) = 0 THEN 0.0 ELSE
+          len(list_filter(gs, g -> len(list_filter(gs, x -> x = g)) > 1))::DOUBLE / len(gs) END
+        FROM (SELECT list_transform(range(1, len(ws) - {n} + 2),
+                     i -> array_to_string(list_slice(ws, i, i + {n} - 1), ' ')) AS gs)
+      ) END)"""
+
+
+def _pipeline_code_pt_oracle() -> str:
+    thr = _code.DOC_QUALITY_PIPELINE
+    enc = " OR ".join(
+        f"{_enc_ratio_sql(p)} > 0.5" for _, p in _code.ENCODED_PATTERNS
+    )
+    ngram_conds = " AND ".join(
+        f"{_dq_ngram_frac_sql(n)} <= {thr[f'max_frac_duplicate_{n}gram']}"
+        for n in (2, 3, 4, 5)
+    )
+    return f"""
+    WITH c AS ({_CODE_META_SQL}),
+    w AS (
+      SELECT *, {_DQ_WS} AS ws,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> l <> '') AS ls,
+        lower(array_to_string(list_slice(string_split(text, chr(10)), 1, 5), chr(10))) AS f5,
+        string_split(text, chr(10)) AS rawls
+      FROM c
+    )
+    SELECT doc_id, source FROM w
+    WHERE
+      -- step 1: no autogen markers
+      NOT contains(f5, 'auto-generated') AND NOT contains(f5, 'autogenerated')
+      AND NOT contains(f5, 'automatically generated')
+      AND NOT contains(f5, 'generated automatically')
+      AND NOT contains(f5, 'this file is generated')
+      -- step 2: length rules
+      AND NOT (len(rawls) > 100000)
+      AND NOT (language NOT IN ('HTML','JSON','Markdown','Roff','Roff Manpage','SMT','TeX','Text','XML')
+               AND (coalesce(list_sum(list_transform(rawls, l -> length(l))), 0)::DOUBLE
+                      / greatest(1, len(rawls)) > 100
+                    OR coalesce(list_max(list_transform(rawls, l -> length(l))), 0) > 1000))
+      AND NOT (language IN ('HTML','JSON','Markdown','Roff','Roff Manpage','SMT','TeX','Text','XML')
+               AND coalesce(list_max(list_transform(rawls, l -> length(l))), 0) > 100000)
+      -- step 3: composition
+      AND NOT (language IN ('Motorola 68K Assembly', 'WebAssembly')
+               AND (length(text) - length(regexp_replace(text, '[\\p{{L}}\\p{{N}}]', '', 'g')))::DOUBLE
+                   / greatest(1, length(text)) < 0.25)
+      AND NOT (language NOT IN ('Motorola 68K Assembly', 'WebAssembly')
+               AND (length(text) - length(regexp_replace(text, '\\p{{L}}', '', 'g')))::DOUBLE
+                   / greatest(1, length(text)) < 0.25)
+      -- step 4: encoded data
+      AND NOT ({enc})
+      -- step 5: document quality at the pipeline thresholds
+      AND length(text) BETWEEN {thr['min_num_chars']} AND {thr['max_num_chars']}
+      AND len(ws) BETWEEN {thr['min_num_words']} AND {thr['max_num_words']}
+      AND (CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+            len(list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1))::DOUBLE
+              / len(ls) END) <= {thr['max_frac_duplicate_lines']}
+      AND (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+            ((length(text) - length(replace(text, '{{', ''))) +
+             (length(text) - length(replace(text, '}}', ''))))::DOUBLE / length(text)
+           END) <= {thr['max_frac_curly_bracket']}
+      AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+            len(list_filter(ws, x -> x = upper(x) AND length(x) > 1
+                                      AND regexp_matches(x, '[A-Za-z]')))::DOUBLE
+              / len(ws) END) <= {thr['max_frac_all_caps_words']}
+      AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+            -list_sum(list_transform(list_distinct(ws),
+              d -> (len(list_filter(ws, x -> x = d))::DOUBLE / len(ws))
+                   * log2(len(list_filter(ws, x -> x = d))::DOUBLE / len(ws))))
+           END) >= {thr['min_entropy_unigram']}
+      AND {ngram_conds}
+      -- step 6: file-type rules
+      AND (CASE
+        WHEN lower(filetype) IN ('text','json','yaml','web ontology language','graphviz','dot')
+          THEN line_count <= 512
+        WHEN lower(filetype) = 'html'
+          THEN visible_text_length >= 100
+               AND visible_text_length::DOUBLE / greatest(total_code_length, 1) >= 0.2
+        WHEN lower(filetype) = 'text'
+          THEN contains(lower(filename), 'requirement')
+               OR regexp_replace(lower(filename), '\\.[^.]*$', '') IN
+                  ('readme','notes','todo','description','cmakelists')
+        ELSE TRUE END)
+    """
+
+
+def pipeline_code_pt_reference(spark, sf_dir):
+    """The reference's shipped code CPU pipeline, steps 1-6 with its exact
+    parameters (statics/pipelines/cpu_pipelines/code_pt_filter.py: autogen ->
+    length -> composition -> encoded-data -> document-quality with the
+    pipeline's threshold dict -> file-type rules).  Step 7
+    (CodeGenericScoreFilter) is commented out in the reference itself (needs
+    an absent quality_score column) and therefore omitted here too."""
+    d = _code_docs(spark, sf_dir)
+    dq = _code.doc_quality_udf(_code.DOC_QUALITY_PIPELINE)(F.col("text"))
+    return (
+        d.where(_code.autogen_score("text") == 1.0)
+        .where(_code.length_score("text", "language") == 1.0)
+        .where(_code.composition_score("text", "language") == 1.0)
+        .where(_code.encoded_score("text") == 1.0)
+        .withColumn("_dq", dq.getField("score"))
+        .where(F.col("_dq") == 1.0)
+        .where(
+            _code.keep_file_type_content(
+                "filetype", "filename", "line_count",
+                "visible_text_length", "total_code_length",
+            )
+        )
+        .select("doc_id", "source")
+    )
+
+
+_QUERIES["pipeline_code_pt_reference"] = pipeline_code_pt_reference
+_ORACLES["pipeline_code_pt_reference"] = _pipeline_code_pt_oracle()
