@@ -2022,3 +2022,166 @@ def pipeline_code_pt_reference(spark, sf_dir):
 
 _QUERIES["pipeline_code_pt_reference"] = pipeline_code_pt_reference
 _ORACLES["pipeline_code_pt_reference"] = _pipeline_code_pt_oracle()
+
+
+# ---------------------------------------------------------------------------
+# reasoning operator family (reference operators/reasoning/filter +
+# reasoning_pipeline.py CPU pipeline)
+# ---------------------------------------------------------------------------
+
+from dataflow_spark.operators import reasoning as _rsn  # noqa: E402
+
+# synthesized QA corpus over documents: three answer formats (boxed /
+# "final answer is $..$. I hope" / bare last-number), planted wrong answers
+# (doc_id%7=0) and degenerate repetitious answers (doc_id%11=0)
+_RSN_SQL_BASE = r"""
+    SELECT doc_id,
+      (doc_id * 7 % 97)::VARCHAR AS gold,
+      CASE WHEN doc_id % 7 = 0 THEN ((doc_id * 7 % 97) + 1)::VARCHAR
+           ELSE (doc_id * 7 % 97)::VARCHAR END AS golden_answer,
+      CASE
+        WHEN doc_id % 11 = 0 THEN
+          repeat('loop the same five words again ', 8) || 'the answer is ' || (doc_id * 7 % 97)
+        WHEN doc_id % 5 = 0 THEN
+          'After deriving carefully the final answer is $' || (doc_id * 7 % 97) || '$. I hope it helps'
+        WHEN doc_id % 5 = 1 THEN
+          'Thus we conclude \boxed{' || (doc_id * 7 % 97) || '} as shown above'
+        ELSE
+          'Working through ' || text || ' the result equals ' || (doc_id * 7 % 97)
+      END AS output
+    FROM documents
+"""
+
+
+def _rsn_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = (F.col("doc_id") * 7 % 97).cast("string")
+    gold = F.when(F.col("doc_id") % 7 == 0, ((F.col("doc_id") * 7 % 97) + 1).cast("string")).otherwise(n)
+    out = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.expr("repeat('loop the same five words again ', 8)"),
+                F.lit("the answer is "), n,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("After deriving carefully the final answer is $"), n,
+                     F.lit("$. I hope it helps")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("Thus we conclude \\boxed{"), n, F.lit("} as shown above")),
+        )
+        .otherwise(
+            F.concat(F.lit("Working through "), F.col("text"),
+                     F.lit(" the result equals "), n)
+        )
+    )
+    return d.select("doc_id", gold.alias("golden_answer"), out.alias("output"))
+
+
+@q(
+    "reasoning_answer_extract",
+    rf"""
+    WITH t AS ({_RSN_SQL_BASE})
+    SELECT doc_id,
+      CASE
+        WHEN contains(output, 'final answer is $') AND contains(output, '$. I hope')
+          THEN trim(split_part(split_part(output, 'final answer is $', 2), '$. I hope', 1))
+        WHEN contains(output, 'boxed')
+          THEN regexp_extract(output, 'boxed\{{([^{{}}]*)\}}', 1)
+        WHEN contains(output, 'he answer is')
+          THEN trim(list_extract(string_split(output, 'he answer is'), -1))
+        ELSE coalesce(list_extract(regexp_extract_all(replace(output, ',', ''), '-?\d*\.?\d+'), -1), '')
+      END AS extracted
+    FROM t
+    """,
+)
+def reasoning_answer_extract(spark, sf_dir):
+    """AnswerExtraction (AnswerExtraction.py:154-211) over the synthesized
+    answer corpus — the oracle mirrors each branch for the controlled
+    single-boxed/no-nesting formats (nested-brace extraction is pytest-
+    covered; not regex-expressible)."""
+    return _rsn_docs(spark, sf_dir).select(
+        "doc_id", _rsn.extract_answer_udf()(F.col("output")).alias("extracted")
+    )
+
+
+@q(
+    "reasoning_ngram_score",
+    rf"""
+    WITH t AS ({_RSN_SQL_BASE}),
+    w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(regexp_replace(lower(output), '[^\w\s]', ' ', 'g'), '\s+'),
+                    x -> x <> '') AS ws
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN len(ws) < 5 THEN 0.0 ELSE (
+        SELECT len(list_distinct(gs))::DOUBLE / len(gs)
+        FROM (SELECT list_transform(range(1, len(ws) - 5 + 2),
+                     i -> array_to_string(list_slice(ws, i, i + 4), ' ')) AS gs)
+      ) END AS repetition_score
+    FROM w
+    """,
+)
+def reasoning_ngram_score(spark, sf_dir):
+    """ReasoningAnswerNgramFilter's repetition score (word path;
+    reasoning_answer_ngram_filter.py:125-175)."""
+    return _rsn_docs(spark, sf_dir).select(
+        "doc_id", _rsn.repetition_score("output", 5).alias("repetition_score")
+    )
+
+
+@q(
+    "pipeline_reasoning_reference",
+    rf"""
+    WITH t AS ({_RSN_SQL_BASE}),
+    x AS (
+      SELECT doc_id, golden_answer, gold, output,
+        CASE
+          WHEN contains(output, 'final answer is $') AND contains(output, '$. I hope')
+            THEN trim(split_part(split_part(output, 'final answer is $', 2), '$. I hope', 1))
+          WHEN contains(output, 'boxed')
+            THEN regexp_extract(output, 'boxed\{{([^{{}}]*)\}}', 1)
+          WHEN contains(output, 'he answer is')
+            THEN trim(list_extract(string_split(output, 'he answer is'), -1))
+          ELSE coalesce(list_extract(regexp_extract_all(replace(output, ',', ''), '-?\d*\.?\d+'), -1), '')
+        END AS extracted,
+        list_filter(string_split_regex(regexp_replace(lower(output), '[^\w\s]', ' ', 'g'), '\s+'),
+                    s -> s <> '') AS ws
+      FROM t
+    )
+    SELECT doc_id FROM x
+    WHERE extracted = golden_answer
+      AND (CASE WHEN len(ws) < 5 THEN 0.0 ELSE (
+            SELECT len(list_distinct(gs))::DOUBLE / len(gs)
+            FROM (SELECT list_transform(range(1, len(ws) - 5 + 2),
+                         i -> array_to_string(list_slice(ws, i, i + 4), ' ')) AS gs)
+          ) END) BETWEEN 0.1 AND 1.0
+    """,
+)
+def pipeline_reasoning_reference(spark, sf_dir):
+    """The reference's shipped reasoning CPU pipeline
+    (cpu_pipelines/reasoning_pipeline.py): AnswerFormatterFilter (shipped
+    as keep-all — its boxed check is commented out in the reference) ->
+    exact ground-truth compare of the extracted answer -> n-gram repetition
+    filter [0.1, 1.0] with n=5.  Planted rows: doc_id%7=0 carry a wrong
+    gold (dropped at step 2); doc_id%11=0 answers are degenerate repeats
+    (their 5-gram uniqueness stays above 0.1 here because of the distinct
+    tail, so the ngram threshold is exercised from the keep side and the
+    score itself is value-checked by reasoning_ngram_score)."""
+    from dataflow_spark.core.stage import get_operator
+
+    df = _rsn_docs(spark, sf_dir)
+    for name, kw in (
+        ("ReasoningAnswerFormatterFilter", {"input_key": "output"}),
+        ("ReasoningAnswerGroundTruthFilter", {}),
+        ("ReasoningAnswerNgramFilter",
+         {"min_score": 0.1, "max_score": 1.0, "ngrams": 5}),
+    ):
+        df = get_operator(name, **kw).apply(df)
+    return df.select("doc_id")

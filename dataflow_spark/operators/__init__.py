@@ -4,6 +4,7 @@ from dataflow_spark.operators import (  # noqa: F401
     evaluators,
     filters,
     multimodal,
+    reasoning,
     refiners,
     similarity,
     text2sql,

@@ -1,0 +1,111 @@
+"""Reasoning-filter parity: answer extraction (branches, balanced braces,
+strip normalization), ground-truth compare, n-gram repetition score — Spark
+vs a pure-Python mirror, plus the composed CPU pipeline shape on synthesized
+math answers."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.stage import get_operator
+from dataflow_spark.operators import reasoning as R
+
+
+def test_extract_answer_branches():
+    cases = {
+        "The final answer is $42$. I hope it helps": "42",
+        r"so we get \boxed{17}": "17",
+        r"thus \boxed{\frac{1}{2}} done": r"\frac{1}{2}",
+        r"nested \boxed{{a}+{b}} end": "{a}+{b}",
+        "The answer is 3.5": "3.5",
+        "values 1, 2 and 19 appear": "19",
+        "no numbers here": "",
+        "": "",
+        r"boxed 7$ trailing": "7",
+        "x=5": "5",           # last-number branch; strip removes 'x='
+        "The answer is 95%.": "95",
+    }
+    for pred, want in cases.items():
+        assert R.extract_answer(pred) == want, (pred, R.extract_answer(pred), want)
+
+
+def test_repetition_score_parity(spark):
+    def py_word_score(t, n=5):
+        t = re.sub(r"[^\w\s]", " ", t.lower())
+        ws = [w for w in t.split() if w]
+        if len(ws) < n:
+            return 0.0
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        return len(set(grams)) / len(grams)
+
+    def py_char_score(t, n=5):
+        t = re.sub(r"[^一-鿿0-9a-z]", "", t.lower())
+        if len(t) < n:
+            return 0.0
+        grams = [t[i : i + n] for i in range(len(t) - n + 1)]
+        return len(set(grams)) / len(grams)
+
+    rows = [
+        ("r0", "the quick brown fox jumps over the lazy dog near the river bank today"),
+        ("r1", "repeat me repeat me repeat me repeat me repeat me repeat me repeat me"),
+        ("r2", "short text"),
+        ("r3", "数学题的答案是四十二因为计算结果就是这样数学题的答案是四十二"),
+        ("r4", "Solve: x^2 + 2x + 1 = 0, so (x+1)^2 = 0 and x = -1, a double root."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, output string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", R.repetition_score("output", 5).alias("s")).collect()
+    }
+    for i, t in rows:
+        want = py_char_score(t) if re.search(r"[一-鿿]", t) else py_word_score(t)
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
+
+
+def test_reasoning_pipeline_shape(spark):
+    rows = [
+        ("a", "Reasoning... The final answer is $8$. I hope it helps", "8"),
+        ("b", r"Thus \boxed{12} is our result after careful long derivation steps", "12"),
+        ("c", r"We conclude \boxed{9}", "4"),          # wrong answer -> dropped
+        ("d", "loop loop loop loop loop loop loop loop loop loop loop the answer is 5", "5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, output string, golden_answer string")
+    out = df
+    for name, kw in (
+        ("ReasoningAnswerFormatterFilter", {"input_key": "output"}),
+        ("ReasoningAnswerGroundTruthFilter", {}),
+        ("ReasoningAnswerNgramFilter", {"min_score": 0.1, "max_score": 1.0, "ngrams": 5}),
+    ):
+        out = get_operator(name, **kw).apply(out)
+    kept = {r["doc_id"] for r in out.collect()}
+    # c fails ground truth; d passes GT ('5') and its repetition score
+    # (distinct-ish tail) stays above 0.1; a and b are clean
+    assert kept == {"a", "b", "d"}
+
+
+def test_reference_math_example_rows(spark):
+    """The reference's ReasoningPipeline example file carries REAL model
+    outputs (44 rows, 2 with null output).  The faithful extract+exact-GT
+    chain keeps 41: it drops the two null-output rows and row 17, whose
+    extracted answer normalizes to '02' against gold '2' (the reference's
+    extra convert_word_number/clean_units steps are documented extension
+    points).  The per-row extraction mirror must agree with Spark exactly."""
+    import json
+
+    path = "/root/reference/dataflow/example/ReasoningPipeline/pipeline_math_short.json"
+    data = json.load(open(path))
+    df = spark.createDataFrame(
+        [(str(i), d["output"], str(d["golden_answer"])) for i, d in enumerate(data)],
+        "doc_id string, output string, golden_answer string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in df.where(R.keep_answer_groundtruth("output", "golden_answer")).collect()
+    }
+    want = {
+        str(i) for i, d in enumerate(data)
+        if R.extract_answer(d["output"]) == str(d["golden_answer"])
+    }
+    assert kept == want
+    assert len(kept) == 41 and {"0", "17", "43"} == set(map(str, range(44))) - kept
