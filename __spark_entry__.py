@@ -2185,3 +2185,36 @@ def pipeline_reasoning_reference(spark, sf_dir):
     ):
         df = get_operator(name, **kw).apply(df)
     return df.select("doc_id")
+
+
+@q(
+    "kbc_chunk_words",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_extract_all(text, '\S+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(range(1, greatest(1, len(ws) - 16) + 1, 112),
+                         s -> list_slice(ws, s, s + 127)),
+          x -> len(x) > 0) AS chunks
+      FROM t
+    )
+    SELECT doc_id,
+      unnest(range(len(chunks)))::INT AS chunk_idx,
+      array_to_string(unnest(chunks), ' ') AS text,
+      len(unnest(chunks))::INT AS n_words
+    FROM c
+    """,
+)
+def kbc_chunk_words(spark, sf_dir):
+    """KBCChunkGenerator (kbc_chunk_generator.py:20-66) word-window variant:
+    128-word chunks, 16-word overlap (stride 112), chunk text re-joined —
+    the oracle rebuilds every chunk verbatim, so the value hash checks the
+    chunk CONTENT, not just counts.  The token-window variant runs on
+    tokens:array<int32> with identical slicing (tests/test_chunking.py)."""
+    from dataflow_spark.operators.chunking import chunk_words
+
+    return chunk_words(_docs(spark, sf_dir), chunk_size=128, chunk_overlap=16)

@@ -1,4 +1,5 @@
 from dataflow_spark.operators import (  # noqa: F401
+    chunking,
     code,
     dedup,
     evaluators,

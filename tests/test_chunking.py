@@ -1,0 +1,66 @@
+"""KBCChunkGenerator parity: sliding-window chunking vs a python mirror;
+token-array equality on chunks (the north-star invariant)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataflow_spark.core.stage import get_operator
+from dataflow_spark.operators import chunking as ch
+
+
+def _py_chunks(seq, size, overlap):
+    stride = size - overlap
+    out = []
+    start = 0
+    last = max(0, len(seq) - overlap)
+    while start == 0 or start < last:
+        c = seq[start : start + size]
+        if c:
+            out.append(c)
+        start += stride
+        if start >= last:
+            break
+    return out
+
+
+def test_chunk_tokens_matches_python_mirror(spark):
+    rows = [
+        ("a", list(range(1000))),
+        ("b", list(range(512))),     # exactly one window
+        ("c", list(range(530))),     # one stride past
+        ("d", list(range(5))),       # shorter than a window
+        ("e", []),                   # empty
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = ch.chunk_tokens(df, chunk_size=512, chunk_overlap=50)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], list(r["tokens"])))
+    for doc_id, toks in rows:
+        want = _py_chunks(toks, 512, 50)
+        have = [t for _, t in sorted(got.get(doc_id, []))]
+        assert have == want, (doc_id, [len(x) for x in have], [len(x) for x in want])
+        for _, t in got.get(doc_id, []):
+            assert len(t) <= 512
+
+
+def test_chunk_words_rejoin(spark):
+    text = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame([("a", text)], "doc_id string, text string")
+    out = ch.chunk_words(df, chunk_size=128, chunk_overlap=16).collect()
+    assert [r["n_words"] for r in sorted(out, key=lambda r: r["chunk_idx"])] == [128, 128, 76]
+    # overlap: chunk1 starts 16 words before chunk0 ends
+    c0 = out[0]["text"].split()
+    c1 = out[1]["text"].split()
+    assert c0[-16:] == c1[:16]
+
+
+def test_chunk_stage_registry(spark):
+    df = spark.createDataFrame([("a", "x " * 100)], "doc_id string, text string")
+    out = get_operator("KBCChunkGenerator", input_key="text", split_method="word",
+                       chunk_size=40, chunk_overlap=10).apply(df)
+    assert out.count() == 3  # 100 words, stride 30: starts 0,30,60 cover all
