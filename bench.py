@@ -129,16 +129,16 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
     }
 
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
-    timed_runs = int(os.environ.get("BENCH_TIMED_RUNS", "2"))
+    timed_runs = int(os.environ.get("BENCH_TIMED_RUNS", "3"))
 
     def bench(name, fn):
         # BASELINE.json's metric is SUSTAINED throughput: run once untimed to
         # absorb one-time costs (whole-stage codegen compile, Python worker
         # fork+import, parquet footer cache), then time the steady state.
         # The steady state is the MIN of `timed_runs` timed repeats — this
-        # box shows heavy run-to-run variance (same stream job measured
-        # 8.8s-32s across repeats), and a single sample conflates the
-        # engine's throughput with ambient load.
+        # box shows heavy run-to-run variance (the same stream job measured
+        # 8.8s-32s across repeats, 2.5x even between adjacent runs), and a
+        # single sample conflates the engine's throughput with ambient load.
         for _ in range(warmup):
             fn()
         best = float("inf")
