@@ -64,3 +64,41 @@ def test_chunk_stage_registry(spark):
     out = get_operator("KBCChunkGenerator", input_key="text", split_method="word",
                        chunk_size=40, chunk_overlap=10).apply(df)
     assert out.count() == 3  # 100 words, stride 30: starts 0,30,60 cover all
+
+
+def test_chunk_reconstruction_property(spark):
+    """Hypothesis invariant: dropping each chunk's leading overlap and
+    concatenating reconstructs the original token stream exactly — so
+    chunking loses nothing and duplicates only the overlap."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=400),
+        size=st.integers(min_value=2, max_value=64),
+        data=st.data(),
+    )
+    def check(n, size, data):
+        overlap = data.draw(st.integers(min_value=0, max_value=size - 1))
+        toks = list(range(n))
+        chunks = _py_chunks(toks, size, overlap)
+        rebuilt = []
+        for i, c in enumerate(chunks):
+            rebuilt.extend(c if i == 0 else c[overlap:])
+        assert rebuilt == toks, (n, size, overlap)
+
+    check()
+    # and the Spark implementation agrees with the mirror on a spot grid
+    rows = [(f"n{n}", list(range(n))) for n in (0, 1, 7, 8, 9, 63, 64, 65, 200)]
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = ch.chunk_tokens(df, chunk_size=8, chunk_overlap=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], list(r["tokens"])))
+    for doc_id, toks in rows:
+        assert [t for _, t in sorted(got.get(doc_id, []))] == _py_chunks(toks, 8, 3), doc_id

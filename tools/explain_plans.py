@@ -105,6 +105,20 @@ def main():
         )
     )
 
+    from dataflow_spark.operators.chunking import chunk_tokens
+
+    chunked = chunk_tokens(mat, chunk_size=64, chunk_overlap=8)
+    sections.append(
+        (
+            "Token-window chunking (KBCChunkGenerator shape)",
+            "Expected: a single narrow stage — scan -> Project building the "
+            "window slices -> Generate (posexplode) -> Project. ZERO "
+            "Exchanges and zero Python: chunk rows multiply in place and "
+            "flow into downstream dedup/filters without a shuffle.",
+            cap(chunked),
+        )
+    )
+
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet").where(
