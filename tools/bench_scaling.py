@@ -112,7 +112,11 @@ def update_baseline_md(res: dict):
         "driver CC, bucket-shuffle tails — is a larger share of a shorter "
         "job). At a real 100 TB input every Arrow batch is full and the "
         "edge set exceeds the local threshold, so the distributed loop and "
-        "full batches restore the parallel fraction.",
+        "full batches restore the parallel fraction. Measured trend: "
+        "doubling the corpus to r800 (219M tokens) moves minhash "
+        "8->32-core efficiency 0.38 -> 0.44 (74.3s -> 41.8s; per-token "
+        "throughput at 32 cores up 34% vs r400) — the serial fraction "
+        "is already shrinking at 2x.",
         "",
         "stream_pipeline is floor-bound at this input size: the identical "
         "pipeline with dedup removed runs in ~5s (source listing + sink + "
@@ -123,7 +127,7 @@ def update_baseline_md(res: dict):
         "(n_shards = O(10 x cores), RocksDB provider), not intra-box core "
         "count; the batch pipelines above are the core-scaling evidence "
         "surface. Run-to-run variance on this box reached 4x on identical "
-        "stream jobs — bench.py therefore reports min-of-2 steady-state "
+        "stream jobs — bench.py therefore reports min-of-3 steady-state "
         "repeats.",
         "",
     ]
