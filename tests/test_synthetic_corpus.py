@@ -37,7 +37,10 @@ def test_planted_fractions(spark):
             df.withColumn("_th", dedup.token_hash()), hash_col="_th"
         ).count()
     )
-    assert 0.02 * n < dup_rows < 0.09 * n
+    # canonical-parent planting (corpus.py): ~4.3% planted exact dups
+    # (5% gated on the ~86% plain-parent fraction) plus a small natural
+    # collision tail — measured 0.046-0.049 across N
+    assert 0.035 * n < dup_rows < 0.065 * n
     # late arrivals ~2%
     late = df.where(
         F.col("event_time")
