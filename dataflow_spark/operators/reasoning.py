@@ -8,8 +8,9 @@ composed by statics/pipelines/cpu_pipelines/reasoning_pipeline.py):
 * ReasoningAnswerGroundTruthFilter (exact mode) — extract the final answer
   (AnswerExtraction.py:154-211 branch structure: "final answer is $..$. I
   hope", last ``boxed`` with balanced braces, "he answer is", last-number
-  fallback; strip_string normalization subset) and string-compare to the
-  gold answer.  The ``math_verify`` mode needs the math_verify package
+  fallback; full strip_string normalization including clean_units and a
+  from-scratch w2n-compatible convert_word_number) and string-compare to
+  the gold answer.  The ``math_verify`` mode needs the math_verify package
   (absent here — non-goal, same external-lib class as GPU scorers).
 * ReasoningAnswerNgramFilter — repetition score = unique/total n-grams;
   char n-grams for CJK-bearing text, word n-grams otherwise
@@ -57,10 +58,115 @@ def _extract_bracketed(ans: str) -> str:
     return "".join(out)
 
 
-def _strip_string(s: str) -> str:
-    """strip_string's normalization subset: the pure string rewrites at
-    AnswerExtraction.py:118-136.  The LaTeX unit table (clean_units) and
-    word-number conversion are extension points, not reproduced."""
+# The unit-text table the reference strips in exact mode
+# (AnswerExtraction.py:79-91, UnitTextManager).  Entries are used UNESCAPED
+# as regex fragments, exactly like the reference — so "q ." matches "q x"
+# too; faithfulness beats tidiness here.  Plural forms are appended the same
+# way the reference does.
+_UNIT_TEXTS_BASE = [
+    "east", "degree", "mph", "kmph", "ft", "m sqaure", "m east", "sq m",
+    "deg", "mile", "q .", "monkey", "prime", "ratio", "profit of rs", "rd",
+    "o", "gm", "p . m", "lb", "tile", "per", "dm", "lt", "gain", "ab", "way",
+    "west", "a .", "b .", "c .", "d .", "e .", "f .", "g .", "h .", "t", "a",
+    "h", "no change", "men", "soldier", "pie", "bc", "excess", "st",
+    "inches", "noon", "percent", "by", "gal", "kmh", "c", "acre", "rise",
+    "a . m", "th", "\u03c0 r 2", "sq", "mark", "l", "toy", "coin", "sq . m",
+    "gallon", "\u00b0 f", "profit", "minw", "yr", "women", "feet", "am",
+    "pm", "hr", "cu cm", "square", "v \u00e2 \u20ac \u2122", "are", "rupee",
+    "rounds", "cubic", "cc", "mtr", "s", "ohm", "number", "kmph", "day",
+    "hour", "minute", "min", "second", "man", "woman", "sec", "cube", "mt",
+    "sq inch", "mp", "\u220f cm \u00b3", "hectare", "more", "sec", "unit",
+    "cu . m", "cm 2", "rs .", "rs", "kg", "g", "month", "km", "m", "cm",
+    "mm", "apple", "liter", "loss", "yard", "pure", "year", "increase",
+    "decrease", "d", "less", "Surface", "litre", "pi sq m", "s .", "metre",
+    "meter", "inch",
+]
+_UNIT_TEXTS = _UNIT_TEXTS_BASE + [t + "s" for t in _UNIT_TEXTS_BASE]
+
+
+def _clean_units(s: str) -> str:
+    for unit in _UNIT_TEXTS:
+        s = re.sub(r"(^|\W)" + unit + r"($|\W)", r"\1\2", s)
+    return s
+
+
+# w2n-compatible word→number conversion (the public word2number algorithm;
+# the reference wraps w2n.word_to_num in try/except and keeps the text
+# unchanged on failure — AnswerExtraction.py:59-66).
+_W2N_ONES = {
+    "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "twelve": 12, "thirteen": 13, "fourteen": 14, "fifteen": 15,
+    "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
+}
+_W2N_TENS = {
+    "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50, "sixty": 60,
+    "seventy": 70, "eighty": 80, "ninety": 90,
+}
+_W2N_SCALES = {"hundred": 100, "thousand": 1_000, "million": 10**6,
+               "billion": 10**9}
+_W2N_WORDS = set(_W2N_ONES) | set(_W2N_TENS) | set(_W2N_SCALES) | {"point"}
+
+
+def _w2n_group(words: list[str]) -> int:
+    """Value of a <1000 group like ['nine', 'hundred', 'twelve']."""
+    total = 0
+    for w in words:
+        if w == "hundred":
+            total = (total or 1) * 100
+        else:
+            total += _W2N_ONES.get(w, 0) + _W2N_TENS.get(w, 0)
+    return total
+
+
+def _word_to_num(text: str):
+    """word2number's word_to_num semantics: lowercase, '-'→' ', digit
+    strings pass through, unknown words are FILTERED (not an error) as long
+    as at least one number word remains; repeated scale words or a bad
+    decimal tail raise ValueError (caught by the caller)."""
+    s = str(text).replace("-", " ").lower()
+    if s.strip().isdigit():
+        return int(s.strip())
+    words = [w for w in s.strip().split() if w in _W2N_WORDS]
+    if not words:
+        raise ValueError("no number words")
+    for scale in ("thousand", "million", "billion", "point"):
+        if words.count(scale) > 1:
+            raise ValueError(f"repeated {scale}")
+    if words and words[-1] == "point":
+        raise ValueError("dangling point")
+    if "point" in words:
+        idx = words.index("point")
+        int_words, dec_words = words[:idx], words[idx + 1:]
+        if not all(w in _W2N_ONES and _W2N_ONES[w] < 10 for w in dec_words):
+            raise ValueError("bad decimal part")
+        dec = "".join(str(_W2N_ONES[w]) for w in dec_words)
+    else:
+        int_words, dec = words, None
+    total, group = 0, []
+    for w in int_words:
+        if w in ("thousand", "million", "billion"):
+            total += _w2n_group(group) * _W2N_SCALES[w]
+            group = []
+        else:
+            group.append(w)
+    total += _w2n_group(group)
+    if dec is not None:
+        return float(f"{total}.{dec}")
+    return total
+
+
+def _convert_word_number(text: str) -> str:
+    try:
+        return str(_word_to_num(text))
+    except Exception:
+        return text
+
+
+def _strip_string(s: str, skip_unit: bool = False) -> str:
+    """strip_string (AnswerExtraction.py:114-139) including clean_units and
+    convert_word_number at their exact positions; ``skip_unit`` mirrors the
+    reference's carp_en/minerva_math bypass (exact mode passes False)."""
     s = str(s).strip().replace("\n", "").rstrip(".").replace("\\!", "")
     s = re.sub(r"\\begin\{array\}\{.*?\}", r"\\begin{pmatrix}", s)
     s = re.sub(r"\\end\{array\}", r"\\end{pmatrix}", s).replace("bmatrix", "pmatrix")
@@ -68,8 +174,11 @@ def _strip_string(s: str) -> str:
          .replace("\\neq", "\\ne").replace("\\leq", "\\le").replace("\\geq", "\\ge"))
     s = (s.replace("\\left", "").replace("\\right", "")
          .replace("\\{", "{").replace("\\}", "}"))
+    if not skip_unit:
+        s = _clean_units(s)
     s = (s.replace("^{\\circ}", "").replace("^\\circ", "")
          .replace("\\$", "").replace("$", "").replace("\\(", "").replace("\\)", ""))
+    s = _convert_word_number(s)
     s = re.sub(r"\\text\{(.*?)\}", r"\1", s)
     for key in ("x=", "y=", "z=", "x\\in", "y\\in", "z\\in", "x\\to", "y\\to", "z\\to"):
         s = s.replace(key, "")
@@ -78,8 +187,10 @@ def _strip_string(s: str) -> str:
     return s
 
 
-def extract_answer(pred: str, use_last_number: bool = True) -> str:
-    """Faithful extract_answer branch structure."""
+def extract_answer(pred: str, use_last_number: bool = True,
+                   skip_unit: bool = False) -> str:
+    """Faithful extract_answer branch structure (data_name=None in the
+    reference's exact mode ⇒ skip_unit=False)."""
     if not pred:
         pred = ""
     pred = str(pred).replace("\u043a\u0438", "")
@@ -96,7 +207,7 @@ def extract_answer(pred: str, use_last_number: bool = True) -> str:
             out = nums[-1] if nums else ""
         else:
             out = ""
-    return _strip_string(out)
+    return _strip_string(out, skip_unit=skip_unit)
 
 
 def extract_answer_udf():

@@ -127,6 +127,22 @@ def with_lineage(
     )
 
 
+def _is_missing_jdbc_driver(e: Exception) -> bool:
+    """True only for the 'driver jar missing' Py4J failures; every other
+    JDBC error (auth, DNS, bad table/SQL, bounds probe) is a real error and
+    must propagate unchanged."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in (
+            "ClassNotFoundException",
+            "No suitable driver",
+            "JDBC_NO_SUITABLE_DRIVER",
+            "Failed to load class",
+        )
+    )
+
+
 def jdbc_source(
     spark: SparkSession,
     url: str,
@@ -173,12 +189,14 @@ def jdbc_source(
         return r.load()
     except NotImplementedError:
         raise
-    except Exception as e:  # pragma: no cover - jar absent in sandbox
-        raise NotImplementedError(
-            "JDBC driver jar not on classpath; launch with "
-            "spark-submit --jars clickhouse-jdbc.jar (or add "
-            "spark.jars.packages=com.clickhouse:clickhouse-jdbc)"
-        ) from e
+    except Exception as e:
+        if _is_missing_jdbc_driver(e):  # pragma: no cover - jar absent in sandbox
+            raise NotImplementedError(
+                "JDBC driver jar not on classpath; launch with "
+                "spark-submit --jars clickhouse-jdbc.jar (or add "
+                "spark.jars.packages=com.clickhouse:clickhouse-jdbc)"
+            ) from e
+        raise  # auth / network / bad-SQL errors propagate as themselves
 
 
 def jdbc_sink(
@@ -196,9 +214,11 @@ def jdbc_sink(
         for k, v in (options or {}).items():
             w = w.option(k, v)
         w.mode(mode).save()
-    except Exception as e:  # pragma: no cover - jar absent in sandbox
-        raise NotImplementedError(
-            "JDBC driver jar not on classpath; launch with "
-            "spark-submit --jars clickhouse-jdbc.jar (or add "
-            "spark.jars.packages=com.clickhouse:clickhouse-jdbc)"
-        ) from e
+    except Exception as e:
+        if _is_missing_jdbc_driver(e):  # pragma: no cover - jar absent in sandbox
+            raise NotImplementedError(
+                "JDBC driver jar not on classpath; launch with "
+                "spark-submit --jars clickhouse-jdbc.jar (or add "
+                "spark.jars.packages=com.clickhouse:clickhouse-jdbc)"
+            ) from e
+        raise

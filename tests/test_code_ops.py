@@ -152,3 +152,41 @@ def test_code_pipeline_stage_registry(spark):
         spark.createDataFrame([("a", 50), ("b", 150)], "doc_id string, line_count int")
     )
     assert {r["doc_id"] for r in out3.collect()} == {"a"}
+
+
+def test_language_dependent_filters_default_language(spark):
+    """CodeLengthSampleFilter / CodeTextCompositionFilter with language_key
+    omitted must not crash: they fall back to a 'language' column when
+    present, else lit('unknown') — the reference's default
+    (ADVICE round-2 fix)."""
+    from dataflow_spark.core.stage import get_operator
+
+    rows = [("a", "def f():\n    return 1\n", "Python"),
+            ("b", "x" * 2000, "Python")]
+    with_lang = spark.createDataFrame(rows, "doc_id string, text string, language string")
+    no_lang = with_lang.drop("language")
+
+    for name in ("CodeLengthSampleFilter", "CodeTextCompositionFilter"):
+        # omitted language_key, language column present -> used
+        kept = {r["doc_id"] for r in get_operator(name, input_key="text").apply(with_lang).collect()}
+        # omitted language_key, no language column -> 'unknown' fallback
+        kept2 = {r["doc_id"] for r in get_operator(name, input_key="text").apply(no_lang).collect()}
+        assert kept == kept2  # Python is in neither special-language list
+        assert "a" in kept
+
+
+def test_doc_quality_6gram_threshold(spark):
+    """A 6-10gram threshold below 1.0 must bind (round-2 ADVICE: the
+    reference checks n=2..10)."""
+    from dataflow_spark.operators.code import doc_quality_udf
+
+    # 30 copies of the same 6 words -> every 6-gram duplicated
+    dup = " ".join(["alpha bravo charlie delta echo foxtrot"] * 30)
+    clean = " ".join(f"w{i}" for i in range(180))
+    df = spark.createDataFrame([("dup", dup), ("clean", clean)], "doc_id string, text string")
+    scored = df.select(
+        "doc_id",
+        doc_quality_udf({"max_frac_duplicate_6gram": 0.5})(F.col("text")).getField("score").alias("s"),
+    )
+    got = {r["doc_id"]: r["s"] for r in scored.collect()}
+    assert got["dup"] == 0.0 and got["clean"] == 1.0

@@ -17,7 +17,10 @@ def test_extract_answer_branches():
         "The final answer is $42$. I hope it helps": "42",
         r"so we get \boxed{17}": "17",
         r"thus \boxed{\frac{1}{2}} done": r"\frac{1}{2}",
-        r"nested \boxed{{a}+{b}} end": "{a}+{b}",
+        # clean_units (exact mode, skip_unit=False) strips the unit word 'a'
+        # even inside braces — the reference's UnitTextManager does the same
+        r"nested \boxed{{a}+{b}} end": "{}+{b}",
+        r"nested \boxed{{q}+{r}} end": "{q}+{r}",  # non-unit letters survive
         "The answer is 3.5": "3.5",
         "values 1, 2 and 19 appear": "19",
         "no numbers here": "",
@@ -87,10 +90,11 @@ def test_reasoning_pipeline_shape(spark):
 def test_reference_math_example_rows(spark):
     """The reference's ReasoningPipeline example file carries REAL model
     outputs (44 rows, 2 with null output).  The faithful extract+exact-GT
-    chain keeps 41: it drops the two null-output rows and row 17, whose
-    extracted answer normalizes to '02' against gold '2' (the reference's
-    extra convert_word_number/clean_units steps are documented extension
-    points).  The per-row extraction mirror must agree with Spark exactly."""
+    chain keeps 42: only the two null-output rows drop.  Row 17 ('02' vs
+    gold '2') is now kept because convert_word_number canonicalizes digit
+    strings through int() exactly like the reference's w2n wrapper — the
+    round-2 gap (41/44, clean_units/w2n missing) is closed.  The per-row
+    extraction mirror must agree with Spark exactly."""
     import json
 
     path = "/root/reference/dataflow/example/ReasoningPipeline/pipeline_math_short.json"
@@ -108,4 +112,39 @@ def test_reference_math_example_rows(spark):
         if R.extract_answer(d["output"]) == str(d["golden_answer"])
     }
     assert kept == want
-    assert len(kept) == 41 and {"0", "17", "43"} == set(map(str, range(44))) - kept
+    assert len(kept) == 42 and {"0", "43"} == set(map(str, range(44))) - kept
+
+
+def test_word_to_num_w2n_parity():
+    """The from-scratch converter reproduces word2number's documented
+    behavior: digit passthrough, filtered unknown words, scales, hyphens,
+    decimals via 'point', and ValueError on non-number text (which
+    _convert_word_number maps to 'unchanged')."""
+    w = R._word_to_num
+    assert w("42") == 42
+    assert w("two") == 2
+    assert w("twenty-three") == 23
+    assert w("nine hundred twelve") == 912
+    assert w("two million three thousand nine hundred and eighty four") == 2_003_984
+    assert w("point two five") == 0.25
+    assert w("three point one four") == 3.14
+    assert w("I have two apples") == 2  # unknown words filtered, like w2n
+    for bad in ("hello", "", "point", "two point one point"):
+        with pytest.raises(ValueError):
+            w(bad)
+    # the strip_string wrapper never raises
+    assert R._convert_word_number("no numbers at all") == "no numbers at all"
+    assert R._convert_word_number("seven") == "7"
+    assert R._convert_word_number("02") == "2"
+
+
+def test_clean_units_matches_reference_semantics():
+    """clean_units strips unit words with the reference's unescaped-regex
+    semantics (AnswerExtraction.py:93-98)."""
+    assert R._clean_units("15 kg") == "15 "
+    assert R._clean_units("15 meters") == "15 "
+    assert R._clean_units("3 miles per hour") == "3   "
+    # non-unit words survive
+    assert R._clean_units("42 widgets") == "42 widgets"
+    # skip_unit bypass: strip_string keeps the unit text
+    assert R._strip_string("15 kg", skip_unit=True) == "15 kg"
