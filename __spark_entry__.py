@@ -2218,3 +2218,245 @@ def kbc_chunk_words(spark, sf_dir):
     from dataflow_spark.operators.chunking import chunk_words
 
     return chunk_words(_docs(spark, sf_dir), chunk_size=128, chunk_overlap=16)
+
+
+# --- round-3 additions: tokens-mode minhash gate, sentence chunker,
+# --- token-unigram perplexity (VERDICT r2 next-round items #4, #6, #7)
+
+
+_SYN_TOK_N = 128
+# pure-arithmetic token synthesis (NOT xxhash — must be re-derivable in
+# DuckDB): tok[j] = (doc_id*131*j + j*17 + doc_id) % 50257.  Each doc is an
+# arithmetic progression with a PER-DOC slope (131*doc_id + 17 mod prime) —
+# a shared 3-gram shingle between docs would force slope equality, i.e.
+# 131*(dA-dB) ≡ 0 mod 50257, impossible for distinct ids below the prime.
+# (A constant slope across docs makes every doc a shift of one global
+# stream — real near-dups; that bug cost the first version two merges.)
+_SYN_TOKENS_EXPR = (
+    f"transform(sequence(0, {_SYN_TOK_N - 1}), "
+    "j -> cast((doc_id * 131 * j + j * 17 + doc_id) % 50257 as int))"
+)
+_SYN_TOKENS_SQL = (
+    f"list_transform(range(0, {_SYN_TOK_N}), "
+    "j -> ((doc_id * 131 * j + j * 17 + doc_id) % 50257)::INT)"
+)
+
+
+def _syn_token_docs(spark, sf_dir):
+    """doc_id-keyed synthetic TOKENS corpus (north-rule payload shape),
+    reproducible verbatim in DuckDB.  localCheckpoint: token shingling
+    indexes the array per position — over the lazy generator expression each
+    element_at re-runs the generator (O(L²)/row; same trap as _syn_docs)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("doc_id").cast("long").alias("doc_seq"),
+            F.expr(_SYN_TOKENS_EXPR).alias("tokens"),
+            "source",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@q("dedup_minhash_tokens", "SELECT doc_id, source FROM documents")
+def dedup_minhash_tokens(spark, sf_dir):
+    """MinHashDeduplicateFilter in the production tokens mode
+    (minhash_deduplicate_filter.py:66-83 ngrams() over tokens;
+    dedup.py:393-399): token 3-gram shingles -> MinHash(128)-LSH.  Planted
+    corpus on the north-rule payload: exact token-array copies (doc_id%5==0)
+    collide in all 16 bands; near-dups append 4 constant tokens
+    (126 vs 130 shingles, Jaccard≈0.94 => band-collision prob ~1-1e-9);
+    distinct arithmetic token streams share no 3-gram shingles => survivors
+    == the original table."""
+    from dataflow_spark.operators.dedup import minhash_dedup
+
+    base = _syn_token_docs(spark, sf_dir)
+    exact = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_seq") + 1_000_000).alias("doc_seq"),
+        "tokens",
+        "source",
+    )
+    near = base.where(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        (F.col("doc_seq") + 2_000_000).alias("doc_seq"),
+        F.concat("tokens", F.array(F.lit(7), F.lit(7), F.lit(7), F.lit(7))).alias("tokens"),
+        "source",
+    )
+    corpus = (
+        base.select("doc_id", "doc_seq", "tokens", "source")
+        .unionByName(exact)
+        .unionByName(near)
+    )
+    return minhash_dedup(
+        corpus, seq_col="doc_seq", use_tokens=True, token_ngram=3
+    ).select("doc_id", "source")
+
+
+_SYN_SENT_N = 32
+# 32 one-word sentences per doc: 'md5word.' joined by spaces — the sentence
+# regex recovers each 'md5word.' in both engines (ASCII \b parity)
+_SYN_SENT_TEXT_EXPR = (
+    f"array_join(transform(sequence(0, {_SYN_SENT_N - 1}), "
+    "j -> concat(md5(cast(doc_id * 137 + j as string)), '.')), ' ')"
+)
+_SYN_SENT_TEXT_SQL = (
+    f"array_to_string(list_transform(range(0, {_SYN_SENT_N}), "
+    "j -> md5((doc_id * 137 + j)::VARCHAR) || '.'), ' ')"
+)
+
+
+@q(
+    "kbc_chunk_sentences",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+        regexp_extract_all({_SYN_SENT_TEXT_SQL}, '\b[^.!?\n]+[.!?]*') AS ss
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(range(1, greatest(1, len(ss) - 1) + 1, 4),
+                         s -> list_slice(ss, s, s + 4)),
+          x -> len(x) > 0) AS chunks
+      FROM t
+    )
+    SELECT doc_id,
+      unnest(range(len(chunks)))::INT AS chunk_idx,
+      array_to_string(unnest(chunks), ' ') AS text,
+      len(unnest(chunks))::INT AS n_sentences
+    FROM c
+    """,
+)
+def kbc_chunk_sentences(spark, sf_dir):
+    """KBCChunkGenerator sentence mode (kbc_chunk_generator.py:20-66 wraps
+    chonkie SentenceChunker): regex sentence split + 5-sentence windows with
+    1-sentence overlap (stride 4) over a punctuated synthetic corpus (the
+    real documents table carries no sentence punctuation).  The oracle
+    rebuilds every chunk verbatim — content value-hash, like
+    kbc_chunk_words."""
+    from dataflow_spark.operators.chunking import chunk_sentences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SYN_SENT_TEXT_EXPR).alias("text")
+    )
+    return chunk_sentences(docs, chunk_size=5, chunk_overlap=1)
+
+
+@q(
+    "eval_perplexity_tokens",
+    rf"""
+    WITH t AS (SELECT doc_id, {_SYN_TOKENS_SQL} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    cnt AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+    tot AS (SELECT count(*) + 50257 AS n FROM w),
+    perdoc AS (
+      SELECT w.doc_id, avg(ln((cnt.c + 1)::DOUBLE / tot.n)) AS avg_lp
+      FROM w JOIN cnt USING (tok) CROSS JOIN tot
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, round(exp(-avg_lp), 4) AS ppl FROM perdoc
+    """,
+)
+def eval_perplexity_tokens(spark, sf_dir):
+    """The PRODUCTION perplexity path (perplexity_sample_evaluator.py:10-80
+    shape) over the north-rule tokens payload: fit_unigram_lm (distributed
+    count -> add-one-smoothed broadcast dict) + the Arrow-batched
+    perplexity_proxy_udf — exercised end-to-end against a DuckDB mirror of
+    the same LM.  Complements eval_perplexity_unigram (word variant)."""
+    from dataflow_spark.operators.evaluators import (
+        fit_unigram_lm,
+        perplexity_proxy_udf,
+    )
+
+    corpus = _syn_token_docs(spark, sf_dir)
+    lm = fit_unigram_lm(corpus, tokens_col="tokens")
+    return corpus.select(
+        "doc_id",
+        F.round(perplexity_proxy_udf(lm)(F.col("tokens")), 4).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registration order (VERDICT r2 item #3): the round driver value-checks the
+# FIRST 50 registered queries only — put the highest-signal entries (composed
+# reference pipelines, code/reasoning families, media value-checks, IVF
+# full-probe, tokens-payload paths) inside that window.  Pure reordering; the
+# full set is unchanged and tools/check_oracles.py still runs all of them.
+# ---------------------------------------------------------------------------
+
+_PRIORITY = (
+    # composed reference pipelines (one oracle each over the whole chain)
+    "pipeline_text_pt_reference",
+    "pipeline_code_pt_reference",
+    "pipeline_reasoning_reference",
+    "pipeline_pt_filter",
+    # dedup family (incl. the north-rule tokens payload)
+    "dedup_exact_md5",
+    "dedup_exact_hash_prefix_64",
+    "dedup_minhash_lsh",
+    "dedup_minhash_tokens",
+    "dedup_simhash",
+    "dedup_ngram_segments",
+    "emb_near_dup",
+    # code operator family
+    "code_autogen_score",
+    "code_length_metrics",
+    "code_text_composition",
+    "code_encoded_data",
+    "code_file_type_filter",
+    "code_doc_quality",
+    # reasoning family
+    "reasoning_answer_extract",
+    "reasoning_ngram_score",
+    # chunking
+    "kbc_chunk_words",
+    "kbc_chunk_sentences",
+    # media value-checks (bit-exact closed-form oracles)
+    "media_metadata",
+    "media_image_features_ppm",
+    "media_audio_features_wav",
+    # similarity / ANN (full-probe == exact brute force is the IVF oracle)
+    "ann_brute_force_top5",
+    "ann_ivf_fullprobe_top5",
+    # evaluators (incl. the tokens-payload production perplexity path)
+    "eval_perplexity_tokens",
+    "eval_perplexity_unigram",
+    "eval_ngram_uniqueness",
+    "eval_langid",
+    "eval_token_count",
+    "eval_doc_fingerprint",
+    "eval_quality_score",
+    "eval_bench_accuracy_langid",
+    # refiners with full-dictionary parity
+    "refine_remove_emoticons",
+    "refine_remove_contractions",
+    "refine_stem_words",
+    # windows / streaming-analytics analogues
+    "events_tumbling_hourly",
+    "events_sliding_window",
+    "events_sessionization",
+    "events_topk_per_user",
+    "events_value_stats",
+    # TPC-H analytics (PandasOperator / generic transform parity)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    # text2sql
+    "text2sql_component_classify",
+    # representative rule-filter + refiner coverage
+    "filter_word_number",
+    "filter_stop_word",
+    "filter_language_en",
+    "refine_remove_extra_spaces",
+    "refine_text_normalization",
+)
+
+assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
+_missing = [n for n in _PRIORITY if n not in _QUERIES]
+assert not _missing, f"priority names not registered: {_missing}"
+_QUERIES = {
+    **{n: _QUERIES[n] for n in _PRIORITY},
+    **{n: f for n, f in _QUERIES.items() if n not in _PRIORITY},
+}

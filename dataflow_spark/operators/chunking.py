@@ -76,6 +76,36 @@ def chunk_words(
     )
 
 
+SENTENCE_RE = r"\b[^.!?\n]+[.!?]*"  # same splitter as keep_sentence_number
+
+
+def chunk_sentences(
+    df: DataFrame,
+    chunk_size: int = 5,
+    chunk_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_idx, text, n_sentences) — sentence-window chunking: the
+    KBCChunkGenerator sentence mode (kbc_chunk_generator.py:20-66 wraps
+    chonkie's SentenceChunker) re-expressed as a regex sentence split +
+    the shared sliding-window kernel.  ``chunk_size``/``chunk_overlap``
+    count SENTENCES; chunk text re-joins sentences with single spaces
+    (whitespace between sentences is normalized, like the word variant).
+    Pure Catalyst — narrow generate, no shuffle."""
+    sents = F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), 0)
+    chunks = _chunk_array(sents, chunk_size, chunk_overlap)
+    return (
+        df.select(id_col, F.posexplode(chunks).alias("chunk_idx", "_ss"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("_ss", " ").alias("text"),
+            F.size("_ss").cast("int").alias("n_sentences"),
+        )
+    )
+
+
 @register("KBCChunkGenerator")
 def kbc_chunk_stage(
     input_key: str = "text", split_method: str = "word",
@@ -86,9 +116,11 @@ def kbc_chunk_stage(
             return chunk_tokens(df, chunk_size, chunk_overlap, input_key, id_col)
         if split_method == "word":
             return chunk_words(df, chunk_size, chunk_overlap, input_key, id_col)
+        if split_method == "sentence":
+            return chunk_sentences(df, chunk_size, chunk_overlap, input_key, id_col)
         raise ValueError(
-            f"split_method {split_method!r}: 'token' and 'word' are native; "
-            "sentence/semantic/recursive need model tokenizers (extension point)"
+            f"split_method {split_method!r}: 'token', 'word' and 'sentence' "
+            "are native; semantic/recursive need embedding models (extension point)"
         )
 
     return Stage("KBCChunkGenerator", fn, (input_key,), ("chunk_idx",), "generate")

@@ -102,3 +102,35 @@ def test_chunk_reconstruction_property(spark):
         got.setdefault(r["doc_id"], []).append((r["chunk_idx"], list(r["tokens"])))
     for doc_id, toks in rows:
         assert [t for _, t in sorted(got.get(doc_id, []))] == _py_chunks(toks, 8, 3), doc_id
+
+
+def test_chunk_sentences_reconstruction(spark):
+    """Sentence windows: 5-sentence chunks, 1-sentence overlap — every
+    sentence appears, ordering preserved, overlap duplicated exactly once
+    per adjacent chunk pair."""
+    from dataflow_spark.operators.chunking import chunk_sentences
+
+    sents = [f"Sentence number {i} ends here." for i in range(12)]
+    df = spark.createDataFrame([("d0", " ".join(sents))], "doc_id string, text string")
+    rows = sorted(
+        chunk_sentences(df, chunk_size=5, chunk_overlap=1).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 4, 12 sentences -> starts 1,5,9 -> 3 chunks (5,5,4 sentences)
+    assert [r["n_sentences"] for r in rows] == [5, 5, 4]
+    # reconstruction: concatenating chunks minus the 1-sentence overlap
+    # re-emitted at each chunk start == original sentence list
+    recon = []
+    for i, r in enumerate(rows):
+        ss = [s if s.endswith(".") else s + "." for s in r["text"].split(". ")]
+        recon.extend(ss if i == 0 else ss[1:])
+    assert recon == sents
+
+
+def test_chunk_sentences_short_doc_single_chunk(spark):
+    from dataflow_spark.operators.chunking import chunk_sentences
+
+    df = spark.createDataFrame([("d0", "Only two. Sentences here.")], "doc_id string, text string")
+    rows = chunk_sentences(df, chunk_size=5, chunk_overlap=1).collect()
+    assert len(rows) == 1 and rows[0]["n_sentences"] == 2
+    assert rows[0]["text"] == "Only two. Sentences here."
