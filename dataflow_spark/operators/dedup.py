@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -375,7 +375,7 @@ def minhash_dedup(
     token_ngram: int = 3,
     seed: int = 1,
     bucket_cap: int = 100_000,
-    n_salt: int = 16,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """MinHashDeduplicateFilter (minhash_deduplicate_filter.py:9-89): char
     5-gram MinHash(num_perm=128) + LSH at threshold≈0.9; survivor = min-seq
@@ -414,6 +414,16 @@ def minhash_dedup(
     )
 
 
+def _auto_n_salt(n_rows: int, bucket_cap: int) -> int:
+    """Salt count that bounds the level-1 agg buffer to ~4*bucket_cap longs
+    (3.2 MB at the default cap) no matter how degenerate the hottest LSH
+    bucket gets: a bucket can hold at most n_rows members, so
+    n_rows/n_salt <= 4*bucket_cap.  Clamped to [16, 4096] — 4096 salts keep
+    the level-1 cell count (n_buckets*n_salt) far below the exploded row
+    count, so the extra aggregation level stays ~free."""
+    return max(16, min(4096, -(-n_rows // max(1, 4 * bucket_cap))))
+
+
 def _minhash_from_hashes(
     df: DataFrame,
     shingle_hashes,
@@ -422,7 +432,7 @@ def _minhash_from_hashes(
     bands: int,
     seed: int,
     bucket_cap: int = 100_000,
-    n_salt: int = 16,
+    n_salt: int | None = None,
 ) -> DataFrame:
     edges = minhash_candidate_edges(
         df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap, n_salt
@@ -438,11 +448,18 @@ def minhash_candidate_edges(
     bands: int,
     seed: int,
     bucket_cap: int = 100_000,
-    n_salt: int = 16,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """The distributed half of MinHash-LSH: signature -> banded buckets ->
     star edges (a, b).  Split out so the plan-audit tool explains exactly
-    what runs (PLANS.md §MinHash)."""
+    what runs (PLANS.md §MinHash).
+
+    ``n_salt=None`` (default) auto-scales the salt count from a cheap
+    row-count probe so every aggregation buffer in the chain has a FIXED
+    memory bound independent of bucket degeneracy (see _auto_n_salt); pass
+    an int to skip the probe (e.g. when the caller already knows N)."""
+    if n_salt is None:
+        n_salt = _auto_n_salt(df.count(), bucket_cap)
     band_udf = minhash_band_udf(num_perm, bands, seed)
     sig = df.select(
         F.col(seq_col).alias("_seq"),
@@ -458,22 +475,25 @@ def minhash_candidate_edges(
         "_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
     ).where(F.col("band_id").isNotNull())
     # ONE logical pass per bucket (no roots-then-join double-execution of the
-    # signature UDF), as a SALTED two-level aggregation so no single agg
-    # buffer is unbounded:
-    #   level 1 groups by (band, hash, seq%n_salt): buffer <= B/n_salt for a
-    #     degenerate B-row bucket, and the member list is sliced to
-    #     bucket_cap+1 (enough to prove the bucket oversized);
-    #   level 2 merges the <=n_salt per-salt rows: buffer <= n_salt*(cap+1).
+    # signature UDF), as a SALTED two-level aggregation where EVERY buffer
+    # has a fixed bound:
+    #   level 1 groups by (band, hash, hash(seq)%n_salt): buffer <=
+    #     B/n_salt <= 4*bucket_cap longs under the auto salt, and the member
+    #     list is sliced to bucket_cap+1 (enough to prove the bucket
+    #     oversized);
+    #   a window cumulative-sum over the <=n_salt cells of each bucket then
+    #     truncates the per-cell member slices so their UNION never exceeds
+    #     bucket_cap+1 — exact for kept buckets (their total is <= cap, so
+    #     nothing truncates), and degenerate buckets keep just enough to be
+    #     recognized and dropped;
+    #   level 2 merges the cells: buffer <= bucket_cap+1 members, always.
     # Buckets whose TRUE size exceeds bucket_cap are dropped from pairing
     # (same contract as simhash/ngram): at 100 TB a hot LSH bucket means a
     # degenerate band value, and its near-dup content is already collapsed by
     # exact dedup upstream.  The drop is not silent — minhash_dropped_buckets
     # reports (band_id, band_hash, size) for any cap audit.
-    # Residual skew bound: a bucket of B rows still costs a B/n_salt level-1
-    # buffer (longs) — e.g. B=10^8, n_salt=16 => ~50 MB; raise n_salt for
-    # corpora with hotter degeneracy.
     lvl1 = exploded.withColumn(
-        "_salt", F.pmod(F.col("_seq"), F.lit(n_salt))
+        "_salt", F.pmod(F.xxhash64("_seq"), F.lit(n_salt))
     ).groupBy("band_id", "band_hash", "_salt").agg(
         F.min("_seq").alias("_root_s"),
         F.slice(
@@ -481,9 +501,20 @@ def minhash_candidate_edges(
         ).alias("_mem_s"),
         F.count("*").alias("_n_s"),
     )
+    w = Window.partitionBy("band_id", "band_hash").orderBy("_salt")
+    lvl1 = lvl1.withColumn("_cum_before", F.sum("_n_s").over(w) - F.col("_n_s")).withColumn(
+        "_mem_kept",
+        F.slice(
+            "_mem_s",
+            F.lit(1),
+            F.greatest(F.lit(0), F.lit(bucket_cap + 1) - F.col("_cum_before")).cast("int"),
+        ),
+    )
+    # the window already exchanged by (band_id, band_hash); the level-2
+    # groupBy reuses that partitioning — no extra shuffle
     buckets = lvl1.groupBy("band_id", "band_hash").agg(
         F.min("_root_s").alias("_root"),
-        F.flatten(F.collect_list("_mem_s")).alias("_members"),
+        F.flatten(F.collect_list("_mem_kept")).alias("_members"),
         F.sum("_n_s").alias("_n"),
     )
     return (

@@ -181,3 +181,50 @@ def test_cc_local_vs_distributed_parity(spark):
     assert local == dist
     # the chain must collapse to a single component rooted at 0
     assert {(n, c) for (n, c) in local if n <= 40} == {(n, 0) for n in range(41)}
+
+
+def test_minhash_degenerate_bucket_bounded_memory(spark):
+    """VERDICT r2 #8: a single degenerate LSH bucket (every row identical)
+    must complete with bounded agg buffers.  300k identical texts -> all 16
+    band buckets hold 300k members; auto n_salt bounds level-1 cells, the
+    window cumsum bounds the level-2 union to bucket_cap+1, the bucket is
+    dropped (size > cap) -> no edges -> all rows survive minhash (exact
+    dedup upstream is what collapses identical text)."""
+    from dataflow_spark.operators import dedup
+
+    n = 300_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_seq"),
+            F.lit("identical degenerate text for every row").alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = dedup.minhash_dedup(df, key="text", bucket_cap=1000, n_salt=None)
+    assert out.count() == n
+    # auto-salt math: n/(4*cap) = 75 cells -> within [16, 4096]
+    assert dedup._auto_n_salt(n, 1000) == 75
+    assert dedup._auto_n_salt(100, 100_000) == 16
+    assert dedup._auto_n_salt(10**10, 100_000) == 4096
+
+
+def test_minhash_window_truncation_exact_for_kept_buckets(spark):
+    """The cumsum truncation must NOT drop members of buckets whose true
+    size is <= bucket_cap: plant a 20-member duplicate cluster with
+    bucket_cap=25, n_salt=8 — every member must still collapse."""
+    from dataflow_spark.operators import dedup
+
+    import hashlib
+
+    rows = [(i, "shared duplicate content padded for shingling zzzz") for i in range(20)]
+    # pairwise-distant texts: md5-hex word soup (digit-suffix variants would
+    # be REAL near-dups at char-5-gram Jaccard ~0.9 and legitimately merge)
+    rows += [
+        (100 + i, " ".join(hashlib.md5(f"{i}-{k}".encode()).hexdigest() for k in range(6)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_seq long, text string")
+    out = dedup.minhash_dedup(df, key="text", bucket_cap=25, n_salt=8)
+    seqs = sorted(r["doc_seq"] for r in out.collect())
+    assert seqs == [0] + [100 + i for i in range(30)]
