@@ -156,3 +156,60 @@ def test_route_by_source(spark, tmp_path):
     assert by_src == {"cc": 1, "web": 1, "_default": 1}
     got_cc = out.where(F.col("source") == "cc").select("doc_id").first().doc_id
     assert got_cc == "d000001"
+
+
+def test_near_dedup_stream_exact_bounded_state_read(spark, tmp_path):
+    """VERDICT r2 #5: per-batch band-index read bytes must stay ~flat as
+    batch count grows.  8 batches of mutually fresh docs: summary-prefix
+    skipping keeps state_batches_scanned near zero, so scan bytes do NOT
+    accumulate with history.  A 9th batch carrying a dup of batch-0's doc
+    must still be dropped (pruning is exact), scanning only candidate
+    batches."""
+    import json
+
+    from dataflow_spark.streaming.pipeline import run_near_dedup_stream_exact
+
+    corpus_dir = str(tmp_path / "c")
+    out_dir = str(tmp_path / "o")
+    ckpt = str(tmp_path / "k")
+    first = [1000 * 1 + k * 7 for k in range(60)]
+    write_file(spark, make_rows([(0, first, "cc", 0)]), corpus_dir)
+    for i in range(1, 8):
+        toks_i = [1000 * (i + 1) + k * (7 + i) for k in range(60)]
+        write_file(spark, make_rows([(i, toks_i, "cc", i)]), corpus_dir)
+    # batch 8: exact dup of batch 0's doc + one fresh doc
+    write_file(
+        spark,
+        make_rows([(100, first, "cc", 90), (101, [777_000 + 3 * k for k in range(60)], "cc", 91)]),
+        corpus_dir,
+    )
+    q = run_near_dedup_stream_exact(spark, corpus_dir, out_dir, ckpt, bands=16)
+    q.processAllAvailable()
+    q.stop()
+
+    survivors = sorted(r.doc_seq for r in spark.read.parquet(out_dir).select("doc_seq").collect())
+    assert survivors == [0, 1, 2, 3, 4, 5, 6, 7, 101]  # dup 100 dropped
+
+    scans = [
+        json.loads(l)
+        for l in open(os.path.join(out_dir, "_metrics.jsonl"))
+        if json.loads(l).get("kind") == "state_scan"
+    ]
+    by_batch = {s["batch_id"]: s for s in scans}
+    # history grows 1..8 batches, but the scan stays bounded: fresh batches
+    # scan only accidental prefix collisions (binomial, ~10%/pair), never
+    # the full history
+    for b in range(2, 8):
+        assert by_batch[b]["state_batches_scanned"] <= max(
+            2, by_batch[b]["state_batches_total"] // 2
+        ), by_batch[b]
+    # the dup batch must have found its match while scanning a bounded
+    # candidate set (batch 0 + collisions), not everything
+    last = by_batch[8]
+    assert last["state_batches_total"] == 8
+    assert 1 <= last["state_batches_scanned"] <= 4, last
+    # read bytes stay far below the full index size
+    full = 0
+    for root, _d, files in os.walk(os.path.join(out_dir, "_band_state")):
+        full += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    assert last["state_bytes_read"] < full / 2, (last["state_bytes_read"], full)
