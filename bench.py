@@ -129,24 +129,31 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
     }
 
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
-    timed_runs = int(os.environ.get("BENCH_TIMED_RUNS", "3"))
+    timed_runs = int(os.environ.get("BENCH_TIMED_RUNS", "5"))
+    samples: dict[str, list[float]] = {}
+    extras["samples"] = samples
 
     def bench(name, fn):
         # BASELINE.json's metric is SUSTAINED throughput: run once untimed to
         # absorb one-time costs (whole-stage codegen compile, Python worker
         # fork+import, parquet footer cache), then time the steady state.
-        # The steady state is the MIN of `timed_runs` timed repeats — this
-        # box shows heavy run-to-run variance (the same stream job measured
-        # 8.8s-32s across repeats, 2.5x even between adjacent runs), and a
-        # single sample conflates the engine's throughput with ambient load.
+        # This box shows heavy run-to-run variance (the same stream job
+        # measured 8.8s-32s across repeats, 2.5x even between adjacent
+        # runs), so the reported time is the MEDIAN of `timed_runs` (>=5)
+        # repeats, with the raw samples + IQR spread published alongside —
+        # a single sample (or a min-of-few) conflates engine throughput
+        # with ambient load (VERDICT r2 #9).
+        import statistics
+
         for _ in range(warmup):
             fn()
-        best = float("inf")
+        ts = []
         for _ in range(max(1, timed_runs)):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            ts.append(round(time.time() - t0, 3))
+        samples[name] = ts
+        timings[name] = round(statistics.median(ts), 3)
 
     bench("pt_pipeline", lambda: pt_pipeline(spark, corpus_dir))
     extras["tokens_per_sec"] = round(total_tokens / timings["pt_pipeline"], 1)
@@ -217,6 +224,18 @@ def main():
     t0 = time.time()
     timings, extras = run_benchmarks(spark)
     total = round(time.time() - t0, 3)
+    # per-query dispersion: IQR (p75-p25) and p75/p25 spread over the raw
+    # repeat samples — regression detection is only meaningful when the
+    # spread is small relative to the claimed delta
+    spread = {}
+    for name, ts in extras.get("samples", {}).items():
+        s = sorted(ts)
+        p25 = s[max(0, (len(s) - 1) // 4)]
+        p75 = s[min(len(s) - 1, (3 * (len(s) - 1) + 3) // 4)]
+        spread[name] = {
+            "iqr_s": round(p75 - p25, 3),
+            "p75_over_p25": round(p75 / p25, 3) if p25 > 0 else None,
+        }
     result = {
         "metric": "dedup+filter pipeline wall time (headline: tokens/sec over amplified tokenized corpus)",
         "value": round(sum(timings.values()), 3),
@@ -225,6 +244,9 @@ def main():
         "sf": SF_DIR,
         "cpus": CPUS,
         "total_wall_s": total,
+        "timed_runs": int(os.environ.get("BENCH_TIMED_RUNS", "5")),
+        "stat": "median",
+        "spread": spread,
         **extras,
     }
     print(json.dumps(result))
