@@ -130,10 +130,16 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
 
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     timed_runs = int(os.environ.get("BENCH_TIMED_RUNS", "5"))
+    # BENCH_QUERIES=a,b,c limits the run to a subset (scaling sweeps re-run
+    # the suite many times; the untimed queries don't need to pay)
+    only = os.environ.get("BENCH_QUERIES")
+    only_set = {q.strip() for q in only.split(",")} if only else None
     samples: dict[str, list[float]] = {}
     extras["samples"] = samples
 
     def bench(name, fn):
+        if only_set is not None and name not in only_set:
+            return
         # BASELINE.json's metric is SUSTAINED throughput: run once untimed to
         # absorb one-time costs (whole-stage codegen compile, Python worker
         # fork+import, parquet footer cache), then time the steady state.
@@ -156,7 +162,8 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
         timings[name] = round(statistics.median(ts), 3)
 
     bench("pt_pipeline", lambda: pt_pipeline(spark, corpus_dir))
-    extras["tokens_per_sec"] = round(total_tokens / timings["pt_pipeline"], 1)
+    if "pt_pipeline" in timings:
+        extras["tokens_per_sec"] = round(total_tokens / timings["pt_pipeline"], 1)
 
     bench(
         "minhash_dedup",
@@ -194,9 +201,10 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
             q.stop()
 
     bench("stream_pipeline", stream_pipeline)
-    extras["stream_tokens_per_sec"] = round(
-        total_tokens / timings["stream_pipeline"], 1
-    )
+    if "stream_pipeline" in timings:
+        extras["stream_tokens_per_sec"] = round(
+            total_tokens / timings["stream_pipeline"], 1
+        )
 
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     bench(

@@ -28,6 +28,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -178,10 +180,15 @@ def _cc_min_numpy(a: "np.ndarray", b: "np.ndarray") -> tuple:
 # parallelize — that fixed cost is what held 8->32-core scaling at 0.56.
 CC_LOCAL_EDGE_THRESHOLD = 4_000_000
 
+# per-worker byte budget for the minhash signature intermediate (see
+# minhash_band_udf); overridable for cache-topology tuning
+SIG_CHUNK_BYTES = int(os.environ.get("DATAFLOW_SIG_CHUNK_BYTES", str(512 * 1024)))
+
 
 def connected_components_min(
     edges: DataFrame, max_iter: int = 20,
     local_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
+    _materialized: bool = False,
 ) -> DataFrame:
     """Edges (a:long, b:long) -> (node:long, component:long) where component
     is the min node id reachable.  Two strategies:
@@ -199,7 +206,8 @@ def connected_components_min(
     # materialize the (usually small) edge set once — every propagation round
     # joins against it twice, and without this the entire upstream chain
     # (MinHash UDF, band explode, bucket join) re-executes per round
-    edges = edges.localCheckpoint(eager=True)
+    if not _materialized:
+        edges = edges.localCheckpoint(eager=True)
     if edges.count() <= local_threshold:
         pdf = edges.select(
             F.col("a").cast("long"), F.col("b").cast("long")
@@ -262,7 +270,26 @@ def connected_components_min(
 def keep_cluster_min(df: DataFrame, edges: DataFrame, seq_col: str = "doc_seq") -> DataFrame:
     """Drop every row whose seq appears in a duplicate cluster with a smaller
     min-seq; annotate nothing (reference drops silently)."""
-    comps = connected_components_min(edges)
+    edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= CC_LOCAL_EDGE_THRESHOLD:
+        # local CC: solve on the driver and ship ONLY the loser ids back,
+        # with an explicit broadcast hint — skips both the full comps
+        # DataFrame round-trip and the anti-join shuffle of df (the loser
+        # table is <= threshold longs = 32 MB worst case; serial driver time
+        # here is the Amdahl term of the whole minhash job, measured in
+        # BENCH_scaling.json)
+        pdf = edges.select(F.col("a").cast("long"), F.col("b").cast("long")).toPandas()
+        if len(pdf) == 0:
+            return df
+        nodes, lbl = _cc_min_numpy(
+            pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
+        )
+        losers_np = nodes[nodes != lbl]
+        losers = df.sparkSession.createDataFrame(
+            pd.DataFrame({seq_col: losers_np})
+        )
+        return df.join(F.broadcast(losers), seq_col, "left_anti")
+    comps = connected_components_min(edges, _materialized=True)
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(seq_col)
     )
@@ -321,45 +348,137 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 16, seed: int = 1):
             [np.asarray(hs, dtype=np.int64) for hs in hashes[nonempty.tolist()]]
         ).astype(np.uint64)
         lens_ne = lens[nonempty]
-        n_ne = len(lens_ne)
-        offsets = np.zeros(n_ne, dtype=np.int64)
-        np.cumsum(lens_ne[:-1], out=offsets[1:])
-        total = int(lens_ne.sum())
-        # multiply-shift (no division): (a*x + b) >> 32, uint64 wrap-around.
-        # Chunk along the SHINGLE axis so the (num_perm x chunk) matrix stays
-        # cache-resident (~4 MB): a full-width matrix makes the kernel pure
-        # DRAM traffic, which saturates at ~8 cores and flatlines scaling —
-        # measured 50s at local[8] == 52s at local[32] before this change.
-        CHUNK = 4096
-        sig = np.empty((num_perm, n_ne), dtype=np.uint64)
-        shift = np.uint64(32)
-        r0 = 0
-        while r0 < n_ne:
-            r1 = r0
-            c0 = offsets[r0]
-            while r1 < n_ne and (offsets[r1] + lens_ne[r1] - c0) <= CHUNK:
-                r1 += 1
-            if r1 == r0:
-                r1 = r0 + 1  # single row larger than CHUNK
-            c1 = int(offsets[r1]) if r1 < n_ne else total
-            seg = flat[c0:c1]
-            phv = (a[:, None] * seg[None, :] + b[:, None]) >> shift
-            sig[:, r0:r1] = np.minimum.reduceat(
-                phv, (offsets[r0:r1] - c0), axis=1
-            )
-            r0 = r1
-        bandsig = sig.reshape(bands, r, -1)
-        bh = np.zeros((bands, bandsig.shape[2]), dtype=np.uint64)
-        for j in range(r):
-            bh = bh * np.uint64(1000003) + bandsig[:, j, :]
-        cols = bh.astype(np.int64).T  # (n_nonempty, bands)
-        out: list = [None] * n
-        j = 0
-        for i in range(n):
-            if nonempty[i]:
-                out[i] = cols[j].tolist()
-                j += 1
-        return pd.Series(out)
+        bh = _band_hashes_from_flat(flat, lens_ne, a, b, num_perm, bands, r)
+        return _pack_band_rows(bh, nonempty, n)
+
+    return udf
+
+
+def _band_hashes_from_flat(
+    flat: np.ndarray, lens_ne: np.ndarray, a, b, num_perm: int, bands: int, r: int
+) -> np.ndarray:
+    """uint64 shingle hashes (flat, row lengths) -> (n_rows, bands) int64
+    band hashes.  multiply-shift (no division): (a*x + b) >> 32, uint64
+    wrap-around.  Chunk along the SHINGLE axis so the (num_perm x chunk)
+    matrix stays cache-resident: a full-width matrix makes the kernel pure
+    DRAM traffic, which saturates at ~8 cores and flatlines scaling —
+    measured 50s at local[8] == 52s at local[32] before chunking.  The
+    budget is per-WORKER (SIG_CHUNK_BYTES, default 512 KiB): with 32
+    concurrent workers the combined working set must fit the shared L3."""
+    n_ne = len(lens_ne)
+    offsets = np.zeros(n_ne, dtype=np.int64)
+    np.cumsum(lens_ne[:-1], out=offsets[1:])
+    total = int(lens_ne.sum())
+    CHUNK = max(256, SIG_CHUNK_BYTES // (num_perm * 8))
+    sig = np.empty((num_perm, n_ne), dtype=np.uint64)
+    shift = np.uint64(32)
+    r0 = 0
+    while r0 < n_ne:
+        r1 = r0
+        c0 = offsets[r0]
+        while r1 < n_ne and (offsets[r1] + lens_ne[r1] - c0) <= CHUNK:
+            r1 += 1
+        if r1 == r0:
+            r1 = r0 + 1  # single row larger than CHUNK
+        c1 = int(offsets[r1]) if r1 < n_ne else total
+        seg = flat[c0:c1]
+        phv = (a[:, None] * seg[None, :] + b[:, None]) >> shift
+        sig[:, r0:r1] = np.minimum.reduceat(phv, (offsets[r0:r1] - c0), axis=1)
+        r0 = r1
+    bandsig = sig.reshape(bands, r, -1)
+    bh = np.zeros((bands, bandsig.shape[2]), dtype=np.uint64)
+    for j in range(r):
+        bh = bh * np.uint64(1000003) + bandsig[:, j, :]
+    return bh.astype(np.int64).T  # (n_nonempty, bands)
+
+
+def _pack_band_rows(cols: np.ndarray, nonempty: np.ndarray, n: int) -> pd.Series:
+    out: list = [None] * n
+    j = 0
+    for i in range(n):
+        if nonempty[i]:
+            out[i] = cols[j].tolist()
+            j += 1
+    return pd.Series(out)
+
+
+def minhash_bands_from_tokens_udf(
+    num_perm: int = 128, bands: int = 16, token_ngram: int = 3, seed: int = 1
+):
+    """pandas_udf: tokens array<int> -> array<long> band hashes, with the
+    token n-gram shingle hashing done IN NUMPY instead of a JVM HOF.
+
+    Same outputs, very different memory profile: the JVM
+    ``token_shingle_hashes`` transform materializes one long per gram as a
+    GenericArrayData (allocation + GC churn) and then ships |grams| longs
+    per row through Arrow — ~8x the byte volume of the raw tokens.  Both the
+    HOF and the fat transfer are DRAM-bandwidth bound, which is exactly the
+    axis this box stops scaling on past ~8 cores (BENCH_scaling.json
+    calibration).  Hashing the grams from the raw int32 tokens inside the
+    Arrow batch removes the HOF entirely and cuts the transfer to 4 bytes
+    per token.
+
+    Parity: identical rolling polynomial (h*B + t) mod M over int64 (numpy
+    ``%`` matches Spark pmod for a positive modulus), then the shared
+    multiply-shift kernel — signatures are byte-identical to
+    minhash_band_udf ∘ token_shingle_hashes (tests/test_dedup.py)."""
+    from dataflow_spark.functions.text import _SHINGLE_BASE, _SHINGLE_MOD
+
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    a, b = _perms(num_perm, seed)
+    B = np.int64(_SHINGLE_BASE)
+    M = np.int64(_SHINGLE_MOD)
+    n_g = token_ngram
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def udf(tokens: pd.Series) -> pd.Series:
+        n = len(tokens)
+        lens = np.fromiter(
+            ((0 if t is None else len(t)) for t in tokens), dtype=np.int64, count=n
+        )
+        # a row pairs only if it has >= 1 full n-gram (token_shingle_hashes
+        # emits an empty array below n tokens — same contract)
+        nonempty = lens >= n_g
+        if not nonempty.any():
+            return pd.Series([None] * n)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=np.int64) for t in tokens[nonempty.tolist()]]
+        )
+        lens_ne = lens[nonempty]
+        # rolling hash over the flat token stream: h_p = gram hash starting
+        # at p, computed for ALL positions then compacted to in-row grams.
+        # Congruence lets the mod run ONCE per gram instead of per step when
+        # the unreduced polynomial fits int64 (tokens < 2^20 = the base, so
+        # the gram value is < 2^(20n); n <= 3 fits), and the mod itself uses
+        # a float-reciprocal quotient + fixup — x86 has no SIMD integer
+        # division, so numpy's % is a scalar loop ~10x slower.
+        T_ = len(flat)
+        n_pos = T_ - n_g + 1
+        if n_g * 20 <= 62 and 0 <= int(flat.min()) and int(flat.max()) < (1 << 20):
+            h = flat[:n_pos].copy()
+            for j in range(1, n_g):
+                h = (h << np.int64(20)) + flat[j : n_pos + j]
+            q = (h.astype(np.float64) * (1.0 / float(M))).astype(np.int64)
+            h -= q * M
+            h[h < 0] += M
+            h[h >= M] -= M
+        else:  # long grams: stepwise reduction keeps intermediates < 2^61
+            h = flat[:n_pos] % M
+            for j in range(1, n_g):
+                h = (h * B + flat[j : n_pos + j]) % M
+        # valid gram positions: the first len-n+1 of each row
+        g_lens = lens_ne - n_g + 1
+        row_off = np.zeros(len(lens_ne), dtype=np.int64)
+        np.cumsum(lens_ne[:-1], out=row_off[1:])
+        # mark [row_off, row_off + g_len) per row via diff-trick
+        marks = np.zeros(n_pos + 1, dtype=np.int64)
+        np.add.at(marks, row_off, 1)
+        np.add.at(marks, row_off + g_lens, -1)
+        valid = np.cumsum(marks[:-1]) > 0
+        grams = h[valid].astype(np.uint64)
+        bh = _band_hashes_from_flat(grams, g_lens, a, b, num_perm, bands, r)
+        return _pack_band_rows(bh, nonempty, n)
 
     return udf
 
@@ -386,17 +505,20 @@ def minhash_dedup(
     bands=16 × r=8 gives LSH threshold (1/b)^(1/r) ≈ 0.707 band-collision
     knee; the reference's 0.9 threshold maps to bands=8/r=16 — configurable.
 
-    Plan shape: scan -> HOF shingling -> xxhash64 (JVM) -> Arrow batch numpy
-    signature -> posexplode bands -> ONE groupBy shuffle for bucket roots ->
-    star edges -> CC -> left_anti.  No B² bucket blow-up anywhere.
+    Plan shape: scan -> (tokens: ONE Arrow UDF hashing grams + signing from
+    raw int32 tokens | text: HOF shingling -> xxhash64 (JVM) -> Arrow batch
+    numpy signature) -> posexplode bands -> ONE groupBy shuffle for bucket
+    roots -> star edges -> CC -> left_anti.  No B² bucket blow-up anywhere.
     """
     if use_tokens:
-        from dataflow_spark.functions.text import token_shingle_hashes
-
-        shingle_hashes = token_shingle_hashes(F.col("tokens"), token_ngram)
-        return _minhash_from_hashes(
-            df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap, n_salt
+        bands_expr = minhash_bands_from_tokens_udf(num_perm, bands, token_ngram, seed)(
+            F.col("tokens")
         )
+        edges = minhash_candidate_edges(
+            df, None, seq_col, num_perm, bands, seed, bucket_cap, n_salt,
+            bands_expr=bands_expr,
+        )
+        return keep_cluster_min(df, edges, seq_col)
     else:
         # char n-grams: sliding substring window, JVM-side HOF (dynamic start
         # position needs the SQL expr form of substring)
@@ -449,6 +571,7 @@ def minhash_candidate_edges(
     seed: int,
     bucket_cap: int = 100_000,
     n_salt: int | None = None,
+    bands_expr=None,
 ) -> DataFrame:
     """The distributed half of MinHash-LSH: signature -> banded buckets ->
     star edges (a, b).  Split out so the plan-audit tool explains exactly
@@ -457,13 +580,19 @@ def minhash_candidate_edges(
     ``n_salt=None`` (default) auto-scales the salt count from a cheap
     row-count probe so every aggregation buffer in the chain has a FIXED
     memory bound independent of bucket degeneracy (see _auto_n_salt); pass
-    an int to skip the probe (e.g. when the caller already knows N)."""
+    an int to skip the probe (e.g. when the caller already knows N).
+
+    ``bands_expr`` (Column -> array<long> band hashes) overrides the
+    shingle_hashes + band-UDF pair — the tokens fast path hashes grams
+    inside the Arrow batch (minhash_bands_from_tokens_udf)."""
     if n_salt is None:
         n_salt = _auto_n_salt(df.count(), bucket_cap)
-    band_udf = minhash_band_udf(num_perm, bands, seed)
+    if bands_expr is None:
+        band_udf = minhash_band_udf(num_perm, bands, seed)
+        bands_expr = band_udf(shingle_hashes)
     sig = df.select(
         F.col(seq_col).alias("_seq"),
-        band_udf(shingle_hashes).alias("_bands"),
+        bands_expr.alias("_bands"),
     )
     # posexplode_OUTER, then drop the null rows ourselves: a plain posexplode
     # makes InferFiltersFromGenerate add `size(_bands) > 0` BELOW the

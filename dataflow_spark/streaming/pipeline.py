@@ -240,13 +240,11 @@ def near_dup_candidates_stream(
     (band_hash, doc_a, doc_b) candidate pairs where doc_a arrived earlier
     (event-time bounded by ``join_horizon``).  Downstream either drops doc_b
     (first-seen near-dedup) or feeds a clustering job."""
-    from dataflow_spark.functions.text import token_shingle_hashes
-    from dataflow_spark.operators.dedup import minhash_band_udf
+    from dataflow_spark.operators.dedup import minhash_bands_from_tokens_udf
 
-    shingle_hashes = token_shingle_hashes(F.col("tokens"), 3)
-    band_udf = minhash_band_udf(num_perm, bands)
+    band_udf = minhash_bands_from_tokens_udf(num_perm, bands, 3)
     banded = (
-        stream.withColumn("_bands", band_udf(shingle_hashes))
+        stream.withColumn("_bands", band_udf(F.col("tokens")))
         .select(
             "doc_id",
             "doc_seq",
@@ -449,13 +447,11 @@ def streaming_minhash_dedup_decisions(
     horizon otherwise.  The doc-level ANY-band vote is a plain per-microbatch
     aggregation — do it in foreachBatch (see run_near_dedup_stream) so only
     the band memory is long-lived state."""
-    from dataflow_spark.functions.text import token_shingle_hashes
-    from dataflow_spark.operators.dedup import minhash_band_udf
+    from dataflow_spark.operators.dedup import minhash_bands_from_tokens_udf
 
-    shingle_hashes = token_shingle_hashes(F.col("tokens"), token_ngram)
-    band_udf = minhash_band_udf(num_perm, bands)
+    band_udf = minhash_bands_from_tokens_udf(num_perm, bands, token_ngram)
     banded = (
-        stream.withColumn("_bands", band_udf(shingle_hashes))
+        stream.withColumn("_bands", band_udf(F.col("tokens")))
         .select(
             "doc_id",
             "doc_seq",
@@ -573,8 +569,10 @@ def run_near_dedup_stream_exact(
     _SUCCESS marker, and the index read excludes partitions >= N, so a
     replayed batch recomputes identical survivors.  State TTL = drop old
     batch_id partitions (compaction/expiry is table maintenance in prod)."""
-    from dataflow_spark.functions.text import token_shingle_hashes
-    from dataflow_spark.operators.dedup import minhash_band_udf, minhash_dedup
+    from dataflow_spark.operators.dedup import (
+        minhash_bands_from_tokens_udf,
+        minhash_dedup,
+    )
 
     state_dir = os.path.join(out_dir, "_band_state")
     summary_dir = os.path.join(out_dir, "_band_state_summary")
@@ -583,10 +581,9 @@ def run_near_dedup_stream_exact(
     pfx_shift = 64 - summary_prefix_bits
 
     def bands_of(df: DataFrame) -> DataFrame:
-        band_udf = minhash_band_udf(num_perm, bands)
-        sh = token_shingle_hashes(F.col("tokens"), token_ngram)
+        band_udf = minhash_bands_from_tokens_udf(num_perm, bands, token_ngram)
         return df.select(
-            "doc_seq", band_udf(sh).alias("_bands")
+            "doc_seq", band_udf(F.col("tokens")).alias("_bands")
         ).select(
             "doc_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
         ).where(F.col("band_id").isNotNull())

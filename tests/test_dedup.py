@@ -228,3 +228,40 @@ def test_minhash_window_truncation_exact_for_kept_buckets(spark):
     out = dedup.minhash_dedup(df, key="text", bucket_cap=25, n_salt=8)
     seqs = sorted(r["doc_seq"] for r in out.collect())
     assert seqs == [0] + [100 + i for i in range(30)]
+
+
+def test_tokens_band_udf_parity_with_jvm_shingles(spark):
+    """minhash_bands_from_tokens_udf (grams hashed in numpy) must be
+    byte-identical to minhash_band_udf ∘ token_shingle_hashes (JVM HOF) —
+    including short rows (< n tokens -> null), empty and null arrays."""
+    import random
+
+    from dataflow_spark.functions.text import token_shingle_hashes
+    from dataflow_spark.operators.dedup import (
+        minhash_band_udf,
+        minhash_bands_from_tokens_udf,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        ln = rng.choice([0, 1, 2, 3, 4, 10, 63, 200])
+        rows.append((i, [rng.randrange(0, 50257) for _ in range(ln)]))
+    rows.append((998, None))
+    # out-of-vocab tokens (>= 2^20, negative): exercises the stepwise-mod
+    # fallback path — must still match the JVM pmod chain exactly
+    rows.append((999, [2**31 - 1, -5, 123456789, 0, -(2**31), 42, 7, 7]))
+    df = spark.createDataFrame(rows, "doc_seq long, tokens array<int>")
+
+    old = df.select(
+        "doc_seq",
+        minhash_band_udf(128, 16, 1)(token_shingle_hashes(F.col("tokens"), 3)).alias("b"),
+    )
+    new = df.select(
+        "doc_seq", minhash_bands_from_tokens_udf(128, 16, 3, 1)(F.col("tokens")).alias("b")
+    )
+    got_old = {r["doc_seq"]: r["b"] for r in old.collect()}
+    got_new = {r["doc_seq"]: r["b"] for r in new.collect()}
+    assert got_old == got_new
+    # sanity: long rows produced real bands, short rows are null
+    assert got_new[998] is None and any(v is not None for v in got_new.values())
