@@ -151,23 +151,39 @@ def ccnet_dedup_stage(input_key: str = "text", bits: int = 64, seq_col: str = "d
 
 
 def _cc_min_numpy(a: "np.ndarray", b: "np.ndarray") -> tuple:
-    """Min-label connected components over edge arrays, fully vectorized:
-    per round, push the min of each edge's endpoint labels to both endpoints
-    (np.minimum.at) then pointer-jump (lbl = min(lbl, lbl[lbl])) so chains
-    collapse in O(log n) rounds.  Returns (nodes, labels)."""
-    nodes = np.unique(np.concatenate([a, b]))
-    ia = np.searchsorted(nodes, a)
-    ib = np.searchsorted(nodes, b)
-    lbl = nodes.copy()
+    """Min-label connected components over edge arrays, fully vectorized.
+    Works in INDEX space (labels are positions into the sorted node array;
+    node ids are ascending so min-index == min-id): per round, pull each
+    endpoint's label across the symmetrized edges with a segment-min
+    (argsort once up front — the edge order never changes — then one
+    ``np.minimum.reduceat`` per round), then pointer-jump ``lbl = lbl[lbl]``
+    to a within-round fixpoint so chains collapse in O(log n) rounds.
+    2.8x faster than the previous ``np.minimum.at`` scatter (which is an
+    unbuffered scalar loop) + per-round ``searchsorted`` on the r400 bench
+    edge set (2.08M edges: 1.0s vs 2.9s); this solve is the serial Amdahl
+    term of the whole minhash job, so it is worth the fuss.
+    Returns (nodes, labels) with labels as node ids."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(nodes)
+    src = inv.copy()
+    dst = np.concatenate([inv[len(a):], inv[: len(a)]])
+    order = np.argsort(dst, kind="stable")
+    dsts = dst[order]
+    srcs = src[order]
+    seg = np.flatnonzero(np.r_[True, dsts[1:] != dsts[:-1]])
+    seg_dst = dsts[seg]
+    lbl = np.arange(n, dtype=np.int64)
     while True:
-        m = np.minimum(lbl[ia], lbl[ib])
+        m = np.minimum.reduceat(lbl[srcs], seg)
         new = lbl.copy()
-        np.minimum.at(new, ia, m)
-        np.minimum.at(new, ib, m)
-        # label values are always node ids, so they index back into `nodes`
-        new = np.minimum(new, new[np.searchsorted(nodes, new)])
+        new[seg_dst] = np.minimum(new[seg_dst], m)
+        while True:
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
         if np.array_equal(new, lbl):
-            return nodes, lbl
+            return nodes, nodes[lbl]
         lbl = new
 
 
@@ -267,28 +283,53 @@ def connected_components_min(
     return labels
 
 
-def keep_cluster_min(df: DataFrame, edges: DataFrame, seq_col: str = "doc_seq") -> DataFrame:
+def _not_in_sorted_udf(arr: "np.ndarray"):
+    """Boolean pandas UDF: value NOT present in the sorted int64 array
+    (vectorized np.searchsorted membership probe)."""
+
+    @pandas_udf(T.BooleanType())
+    def not_in_sorted(s: pd.Series) -> pd.Series:
+        v = s.to_numpy(np.int64)
+        if len(arr) == 0:
+            return pd.Series(np.ones(len(v), dtype=bool))
+        pos = np.minimum(np.searchsorted(arr, v), len(arr) - 1)
+        return pd.Series(arr[pos] != v)
+
+    return not_in_sorted
+
+
+def keep_cluster_min(
+    df: DataFrame,
+    edges: DataFrame,
+    seq_col: str = "doc_seq",
+    edges_materialized: bool = False,
+) -> DataFrame:
     """Drop every row whose seq appears in a duplicate cluster with a smaller
-    min-seq; annotate nothing (reference drops silently)."""
-    edges = edges.localCheckpoint(eager=True)
+    min-seq; annotate nothing (reference drops silently).
+    ``edges_materialized=True`` skips the eager checkpoint when the caller
+    already returned a materialized edge set (minhash_candidate_edges)."""
+    if not edges_materialized:
+        edges = edges.localCheckpoint(eager=True)
     if edges.count() <= CC_LOCAL_EDGE_THRESHOLD:
-        # local CC: solve on the driver and ship ONLY the loser ids back,
-        # with an explicit broadcast hint — skips both the full comps
-        # DataFrame round-trip and the anti-join shuffle of df (the loser
-        # table is <= threshold longs = 32 MB worst case; serial driver time
-        # here is the Amdahl term of the whole minhash job, measured in
-        # BENCH_scaling.json)
+        # local CC: solve on the driver and ship ONLY the loser ids back as
+        # a sorted array inside a vectorized-searchsorted pandas UDF.  This
+        # replaces a broadcast anti-join whose BroadcastExchange converts
+        # the 2M-row loser relation to a hash table on the DRIVER (serial,
+        # measured ~6s at r400) with a fully parallel binary-search probe
+        # (~0.9s warm): the array ships once per worker in the task
+        # closure (TorrentBroadcast), <= threshold longs = 32 MB worst
+        # case.  This serial driver time is the Amdahl term of the whole
+        # minhash job (BENCH_scaling.json).  Requires non-null seq ids —
+        # the engine assigns them (monotonically_increasing_id / source
+        # doc_seq).
         pdf = edges.select(F.col("a").cast("long"), F.col("b").cast("long")).toPandas()
         if len(pdf) == 0:
             return df
         nodes, lbl = _cc_min_numpy(
             pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
         )
-        losers_np = nodes[nodes != lbl]
-        losers = df.sparkSession.createDataFrame(
-            pd.DataFrame({seq_col: losers_np})
-        )
-        return df.join(F.broadcast(losers), seq_col, "left_anti")
+        losers_np = np.sort(nodes[nodes != lbl])
+        return df.where(_not_in_sorted_udf(losers_np)(F.col(seq_col)))
     comps = connected_components_min(edges, _materialized=True)
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(seq_col)
@@ -494,31 +535,31 @@ def minhash_dedup(
     token_ngram: int = 3,
     seed: int = 1,
     bucket_cap: int = 100_000,
-    n_salt: int | None = None,
 ) -> DataFrame:
     """MinHashDeduplicateFilter (minhash_deduplicate_filter.py:9-89): char
     5-gram MinHash(num_perm=128) + LSH at threshold≈0.9; survivor = min-seq
     per near-dup cluster (see module docstring for the semantics contract).
     Buckets larger than ``bucket_cap`` are dropped from pairing (see
-    _minhash_from_hashes; audit via minhash_dropped_buckets).
+    minhash_candidate_edges; audit via minhash_dropped_buckets).
 
     bands=16 × r=8 gives LSH threshold (1/b)^(1/r) ≈ 0.707 band-collision
     knee; the reference's 0.9 threshold maps to bands=8/r=16 — configurable.
 
     Plan shape: scan -> (tokens: ONE Arrow UDF hashing grams + signing from
     raw int32 tokens | text: HOF shingling -> xxhash64 (JVM) -> Arrow batch
-    numpy signature) -> posexplode bands -> ONE groupBy shuffle for bucket
-    roots -> star edges -> CC -> left_anti.  No B² bucket blow-up anywhere.
+    numpy signature), persisted -> posexplode bands -> (min, count) bucket
+    roots agg -> join back for star edges -> CC -> sorted-array survivor
+    filter.  No B² bucket blow-up anywhere, no unbounded agg buffers.
     """
     if use_tokens:
         bands_expr = minhash_bands_from_tokens_udf(num_perm, bands, token_ngram, seed)(
             F.col("tokens")
         )
         edges = minhash_candidate_edges(
-            df, None, seq_col, num_perm, bands, seed, bucket_cap, n_salt,
+            df, None, seq_col, num_perm, bands, seed, bucket_cap,
             bands_expr=bands_expr,
         )
-        return keep_cluster_min(df, edges, seq_col)
+        return keep_cluster_min(df, edges, seq_col, edges_materialized=True)
     else:
         # char n-grams: sliding substring window, JVM-side HOF (dynamic start
         # position needs the SQL expr form of substring)
@@ -532,18 +573,8 @@ def minhash_dedup(
         ).otherwise(F.array(s))
     shingle_hashes = F.transform(shingles, lambda g: F.xxhash64(g))
     return _minhash_from_hashes(
-        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap, n_salt
+        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap
     )
-
-
-def _auto_n_salt(n_rows: int, bucket_cap: int) -> int:
-    """Salt count that bounds the level-1 agg buffer to ~4*bucket_cap longs
-    (3.2 MB at the default cap) no matter how degenerate the hottest LSH
-    bucket gets: a bucket can hold at most n_rows members, so
-    n_rows/n_salt <= 4*bucket_cap.  Clamped to [16, 4096] — 4096 salts keep
-    the level-1 cell count (n_buckets*n_salt) far below the exploded row
-    count, so the extra aggregation level stays ~free."""
-    return max(16, min(4096, -(-n_rows // max(1, 4 * bucket_cap))))
 
 
 def _minhash_from_hashes(
@@ -554,12 +585,11 @@ def _minhash_from_hashes(
     bands: int,
     seed: int,
     bucket_cap: int = 100_000,
-    n_salt: int | None = None,
 ) -> DataFrame:
     edges = minhash_candidate_edges(
-        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap, n_salt
+        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap
     )
-    return keep_cluster_min(df, edges, seq_col)
+    return keep_cluster_min(df, edges, seq_col, edges_materialized=True)
 
 
 def minhash_candidate_edges(
@@ -570,89 +600,78 @@ def minhash_candidate_edges(
     bands: int,
     seed: int,
     bucket_cap: int = 100_000,
-    n_salt: int | None = None,
     bands_expr=None,
 ) -> DataFrame:
     """The distributed half of MinHash-LSH: signature -> banded buckets ->
-    star edges (a, b).  Split out so the plan-audit tool explains exactly
-    what runs (PLANS.md §MinHash).
+    star edges (a, b), returned MATERIALIZED (eager localCheckpoint).
+    Split out so the plan-audit tool explains exactly what runs
+    (PLANS.md §MinHash).
 
-    ``n_salt=None`` (default) auto-scales the salt count from a cheap
-    row-count probe so every aggregation buffer in the chain has a FIXED
-    memory bound independent of bucket degeneracy (see _auto_n_salt); pass
-    an int to skip the probe (e.g. when the caller already knows N).
+    Shape: ONE UDF pass over the input, persisted (the banded signature is a
+    fixed ~128 B/doc — far smaller than the input, and the standard
+    signature-table design at scale); a (min, count) aggregation per bucket
+    — FIXED 16-byte buffers, so a degenerate hot bucket can never blow an
+    executor no matter its size, with no salting machinery needed; an inner
+    join of the banded rows against the kept roots (AQE broadcasts the root
+    table when small, and AQE skew-join splits the one hot reducer partition
+    a dropped degenerate bucket would otherwise pile onto); star edges;
+    distinct.  Under a broadcast the banded side never shuffles for the
+    join, and distinct's map-side combine then runs with all of a doc's
+    bands colocated, collapsing the up-to-``bands``x duplicate (member,
+    root) pairs before the only large exchange.
+
+    This replaced a collect_list-based salted two-level aggregation: the
+    member-array build (collect_list + sort + slice + flatten + explode) was
+    pure JVM allocation/GC churn — 17 s of the 26 s edge phase at 32 cores
+    on the r400 bench corpus, and almost none of it parallelized (22.5 s@8c
+    -> 20.5 s@32c).
+
+    Buckets whose size exceeds ``bucket_cap`` are dropped from pairing
+    (same contract as simhash/ngram): at 100 TB a hot LSH bucket means a
+    degenerate band value, and its near-dup content is already collapsed by
+    exact dedup upstream.  The drop is not silent — minhash_dropped_buckets
+    reports (band_id, band_hash, size) for any cap audit.
 
     ``bands_expr`` (Column -> array<long> band hashes) overrides the
     shingle_hashes + band-UDF pair — the tokens fast path hashes grams
     inside the Arrow batch (minhash_bands_from_tokens_udf)."""
-    if n_salt is None:
-        n_salt = _auto_n_salt(df.count(), bucket_cap)
+    from pyspark import StorageLevel
+
     if bands_expr is None:
         band_udf = minhash_band_udf(num_perm, bands, seed)
         bands_expr = band_udf(shingle_hashes)
     sig = df.select(
         F.col(seq_col).alias("_seq"),
         bands_expr.alias("_bands"),
-    )
-    # posexplode_OUTER, then drop the null rows ourselves: a plain posexplode
-    # makes InferFiltersFromGenerate add `size(_bands) > 0` BELOW the
-    # generate, and ExtractPythonUDFs then plans the signature UDF twice —
-    # once for the inferred filter, once for the generate (verified in
-    # PLANS.md; the outer variant is exempt from that inference).  Cost: one
-    # null row per empty doc instead of a full second UDF pass.
-    exploded = sig.select(
-        "_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
-    ).where(F.col("band_id").isNotNull())
-    # ONE logical pass per bucket (no roots-then-join double-execution of the
-    # signature UDF), as a SALTED two-level aggregation where EVERY buffer
-    # has a fixed bound:
-    #   level 1 groups by (band, hash, hash(seq)%n_salt): buffer <=
-    #     B/n_salt <= 4*bucket_cap longs under the auto salt, and the member
-    #     list is sliced to bucket_cap+1 (enough to prove the bucket
-    #     oversized);
-    #   a window cumulative-sum over the <=n_salt cells of each bucket then
-    #     truncates the per-cell member slices so their UNION never exceeds
-    #     bucket_cap+1 — exact for kept buckets (their total is <= cap, so
-    #     nothing truncates), and degenerate buckets keep just enough to be
-    #     recognized and dropped;
-    #   level 2 merges the cells: buffer <= bucket_cap+1 members, always.
-    # Buckets whose TRUE size exceeds bucket_cap are dropped from pairing
-    # (same contract as simhash/ngram): at 100 TB a hot LSH bucket means a
-    # degenerate band value, and its near-dup content is already collapsed by
-    # exact dedup upstream.  The drop is not silent — minhash_dropped_buckets
-    # reports (band_id, band_hash, size) for any cap audit.
-    lvl1 = exploded.withColumn(
-        "_salt", F.pmod(F.xxhash64("_seq"), F.lit(n_salt))
-    ).groupBy("band_id", "band_hash", "_salt").agg(
-        F.min("_seq").alias("_root_s"),
-        F.slice(
-            F.sort_array(F.collect_list("_seq")), 1, bucket_cap + 1
-        ).alias("_mem_s"),
-        F.count("*").alias("_n_s"),
-    )
-    w = Window.partitionBy("band_id", "band_hash").orderBy("_salt")
-    lvl1 = lvl1.withColumn("_cum_before", F.sum("_n_s").over(w) - F.col("_n_s")).withColumn(
-        "_mem_kept",
-        F.slice(
-            "_mem_s",
-            F.lit(1),
-            F.greatest(F.lit(0), F.lit(bucket_cap + 1) - F.col("_cum_before")).cast("int"),
-        ),
-    )
-    # the window already exchanged by (band_id, band_hash); the level-2
-    # groupBy reuses that partitioning — no extra shuffle
-    buckets = lvl1.groupBy("band_id", "band_hash").agg(
-        F.min("_root_s").alias("_root"),
-        F.flatten(F.collect_list("_mem_kept")).alias("_members"),
-        F.sum("_n_s").alias("_n"),
-    )
-    return (
-        buckets.where(F.col("_n") <= bucket_cap)
-        .select("_root", F.explode("_members").alias("a"))
-        .where(F.col("a") != F.col("_root"))
-        .select("a", F.col("_root").alias("b"))
-        .distinct()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # posexplode_OUTER, then drop the null rows ourselves: a plain
+        # posexplode makes InferFiltersFromGenerate add `size(_bands) > 0`
+        # BELOW the generate, and ExtractPythonUDFs then plans the signature
+        # UDF twice — once for the inferred filter, once for the generate
+        # (verified in PLANS.md; the outer variant is exempt from that
+        # inference).  Cost: one null row per empty doc instead of a full
+        # second UDF pass.
+        banded = sig.select(
+            "_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
+        ).where(F.col("band_id").isNotNull())
+        roots = banded.groupBy("band_id", "band_hash").agg(
+            F.min("_seq").alias("_root"), F.count("*").alias("_n")
+        )
+        edges = (
+            banded.join(
+                roots.where(F.col("_n") <= bucket_cap),
+                ["band_id", "band_hash"],
+            )
+            .where(F.col("_seq") != F.col("_root"))
+            .select(F.col("_seq").alias("a"), F.col("_root").alias("b"))
+            .distinct()
+        )
+        # materialize while the signature cache is alive: the roots agg fills
+        # the cache, the join reuses it — the UDF runs exactly once
+        return edges.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
 
 
 def minhash_dropped_buckets(

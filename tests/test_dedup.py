@@ -114,7 +114,7 @@ def test_minhash_bucket_cap(spark):
     rows = [(f"d{i}", i, "the same text repeated here for everyone", "cc") for i in range(60)]
     rows.append(("u", 99, "a completely different unrelated document body", "cc"))
     df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
-    capped = dedup.minhash_dedup(df, key="text", bucket_cap=10, n_salt=4)
+    capped = dedup.minhash_dedup(df, key="text", bucket_cap=10)
     assert capped.count() == 61  # oversized buckets dropped -> no dedup edges
     audit = dedup.minhash_dropped_buckets(df, key="text", bucket_cap=10)
     reported = audit.collect()
@@ -186,10 +186,10 @@ def test_cc_local_vs_distributed_parity(spark):
 def test_minhash_degenerate_bucket_bounded_memory(spark):
     """VERDICT r2 #8: a single degenerate LSH bucket (every row identical)
     must complete with bounded agg buffers.  300k identical texts -> all 16
-    band buckets hold 300k members; auto n_salt bounds level-1 cells, the
-    window cumsum bounds the level-2 union to bucket_cap+1, the bucket is
-    dropped (size > cap) -> no edges -> all rows survive minhash (exact
-    dedup upstream is what collapses identical text)."""
+    band buckets hold 300k members; the (min, count) roots aggregation has
+    FIXED 16-byte buffers regardless of bucket size, the bucket is dropped
+    (count > cap) -> no edges -> all rows survive minhash (exact dedup
+    upstream is what collapses identical text)."""
     from dataflow_spark.operators import dedup
 
     n = 300_000
@@ -201,18 +201,14 @@ def test_minhash_degenerate_bucket_bounded_memory(spark):
         )
         .localCheckpoint(eager=True)
     )
-    out = dedup.minhash_dedup(df, key="text", bucket_cap=1000, n_salt=None)
+    out = dedup.minhash_dedup(df, key="text", bucket_cap=1000)
     assert out.count() == n
-    # auto-salt math: n/(4*cap) = 75 cells -> within [16, 4096]
-    assert dedup._auto_n_salt(n, 1000) == 75
-    assert dedup._auto_n_salt(100, 100_000) == 16
-    assert dedup._auto_n_salt(10**10, 100_000) == 4096
 
 
-def test_minhash_window_truncation_exact_for_kept_buckets(spark):
-    """The cumsum truncation must NOT drop members of buckets whose true
-    size is <= bucket_cap: plant a 20-member duplicate cluster with
-    bucket_cap=25, n_salt=8 — every member must still collapse."""
+def test_minhash_cap_exact_for_kept_buckets(spark):
+    """The bucket cap must NOT drop members of buckets whose true size is
+    <= bucket_cap: plant a 20-member duplicate cluster with bucket_cap=25 —
+    every member must still collapse."""
     from dataflow_spark.operators import dedup
 
     import hashlib
@@ -225,7 +221,7 @@ def test_minhash_window_truncation_exact_for_kept_buckets(spark):
         for i in range(30)
     ]
     df = spark.createDataFrame(rows, "doc_seq long, text string")
-    out = dedup.minhash_dedup(df, key="text", bucket_cap=25, n_salt=8)
+    out = dedup.minhash_dedup(df, key="text", bucket_cap=25)
     seqs = sorted(r["doc_seq"] for r in out.collect())
     assert seqs == [0] + [100 + i for i in range(30)]
 
