@@ -88,8 +88,13 @@ def main():
         ("compute_l2_resident", _compute_kernel, 2000),
         ("dram_streaming", _dram_kernel, 8),
     ):
-        lo = max(run(kernel, 8, inner) for _ in range(reps))
-        hi = max(run(kernel, 32, inner) for _ in range(reps))
+        # alternate legs within each rep so ambient drift decorrelates from
+        # worker count; max = best-case (the ceiling is the QUIET number)
+        los, his = [], []
+        for _ in range(reps):
+            los.append(run(kernel, 8, inner))
+            his.append(run(kernel, 32, inner))
+        lo, hi = max(los), max(his)
         result[name] = {
             "units_per_sec_8w": round(lo, 1),
             "units_per_sec_32w": round(hi, 1),
