@@ -601,11 +601,15 @@ def minhash_candidate_edges(
     seed: int,
     bucket_cap: int = 100_000,
     bands_expr=None,
+    materialize: bool = True,
 ) -> DataFrame:
     """The distributed half of MinHash-LSH: signature -> banded buckets ->
     star edges (a, b), returned MATERIALIZED (eager localCheckpoint).
     Split out so the plan-audit tool explains exactly what runs
-    (PLANS.md §MinHash).
+    (PLANS.md §MinHash).  ``materialize=False`` skips the persist +
+    eager checkpoint and returns the raw logical plan — for plan audit
+    (tools/explain_plans.py) only; executing that plan runs the
+    signature UDF once per downstream consumer.
 
     Shape: ONE UDF pass over the input, persisted (the banded signature is a
     fixed ~128 B/doc — far smaller than the input, and the standard
@@ -643,7 +647,9 @@ def minhash_candidate_edges(
     sig = df.select(
         F.col(seq_col).alias("_seq"),
         bands_expr.alias("_bands"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if materialize:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # posexplode_OUTER, then drop the null rows ourselves: a plain
         # posexplode makes InferFiltersFromGenerate add `size(_bands) > 0`
@@ -667,11 +673,14 @@ def minhash_candidate_edges(
             .select(F.col("_seq").alias("a"), F.col("_root").alias("b"))
             .distinct()
         )
+        if not materialize:
+            return edges
         # materialize while the signature cache is alive: the roots agg fills
         # the cache, the join reuses it — the UDF runs exactly once
         return edges.localCheckpoint(eager=True)
     finally:
-        sig.unpersist()
+        if materialize:
+            sig.unpersist()
 
 
 def minhash_dropped_buckets(

@@ -82,25 +82,36 @@ def main():
     # expressions (and a spurious re-evaluation) all over the audit.
     import tempfile
 
-    from dataflow_spark.functions.text import token_shingle_hashes
-
     mat_dir = os.path.join(tempfile.gettempdir(), "explain_corpus")
     corpus.write.mode("overwrite").parquet(mat_dir)
     mat = spark.read.parquet(mat_dir)
 
     edges = dedup.minhash_candidate_edges(
-        mat, token_shingle_hashes(F.col("tokens"), 3), "doc_seq", 128, 16, 1
+        mat, None, "doc_seq", 128, 16, 1,
+        bands_expr=dedup.minhash_bands_from_tokens_udf(128, 16, 3, 1)(
+            F.col("tokens")
+        ),
+        materialize=False,
     )
     sections.append(
         (
-            "MinHash-LSH candidate edges (signature -> salted bucket agg -> star edges)",
-            "Expected: JVM shingle hashing feeding EXACTLY ONE ArrowEvalPython "
-            "(whole-batch numpy signatures; posexplode_outer keeps "
-            "InferFiltersFromGenerate from planning the UDF a second time), "
-            "then three Exchanges, all bucket-sized: the salt-level "
-            "aggregation (partial agg map-side), the per-bucket merge, and "
-            "the final edge distinct.  No join anywhere — star edges come "
-            "from the aggregation itself; never B^2 pairs.",
+            "MinHash-LSH candidate edges (signature -> (min,count) roots agg "
+            "-> join -> star edges), tokens fast path",
+            "Expected: EXACTLY ONE ArrowEvalPython reading only (doc_seq, "
+            "tokens) — the token n-gram hashing AND the numpy signature both "
+            "run inside the Arrow batch, so 4 bytes/token cross the "
+            "JVM-Python boundary and no JVM HOF materializes per-gram "
+            "arrays (posexplode_outer keeps InferFiltersFromGenerate from "
+            "planning the UDF a second time).  Then: one Exchange into the "
+            "(min, count) per-bucket aggregation — FIXED 16-byte agg "
+            "buffers, partial agg map-side, no collect_list anywhere — a "
+            "join of the banded rows back against the kept roots (AQE "
+            "broadcasts the root table when small; in production the "
+            "signature is persisted so the UDF runs once for both "
+            "consumers), and the final edge distinct.  Never B^2 pairs.  "
+            "Audited with materialize=False: the production path persists "
+            "the signature and eagerly checkpoints the edges, which would "
+            "hide this plan behind a Scan ExistingRDD.",
             cap(edges),
         )
     )
