@@ -25,6 +25,9 @@ Method (round 3 — built after two rounds of fighting this box's noise):
 Usage: python tools/bench_scaling.py [replicas] [sessions_per_leg]
 Env:   SCALE_QUERIES=a,b,c   queries to sweep (default: the 4 headline jobs)
        BENCH_TIMED_RUNS      timed repeats per session (default 2)
+       SCALE_OUT=path.json   write there instead of BENCH_scaling.json and
+                             leave BASELINE.md untouched (supplementary
+                             runs, e.g. the corpus-size amortization trend)
 Writes BENCH_scaling.json and rewrites BASELINE.md '## 3. Measured scaling'.
 """
 
@@ -118,9 +121,14 @@ def main():
         "hardware_calibration": calib,
         "per_query": per_q,
     }
-    with open(os.path.join(ROOT, "BENCH_scaling.json"), "w") as f:
-        json.dump(result, f, indent=2)
-    update_baseline_md(result)
+    out_path = os.environ.get("SCALE_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+    else:
+        with open(os.path.join(ROOT, "BENCH_scaling.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        update_baseline_md(result)
     print(json.dumps(result))
 
 
