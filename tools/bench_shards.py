@@ -151,10 +151,10 @@ def update_baseline_md(res: dict):
         "real cluster shards place onto DIFFERENT executors — n_shards = "
         "O(10 x total cores) is the knob that turns executor count into "
         "state throughput, which is why the table's flat/declining tail is "
-        "a single-box artifact, not a design property.  The bottleneck "
-        "at the flat point on this box is named by the per-batch metrics "
-        "(_metrics.jsonl): source listing + sink commit, both "
-        "shard-count-independent.",
+        "a single-box artifact, not a design property.  The bottleneck at "
+        "the flat point is named by a per-batch StreamingQueryProgress "
+        "durationMs probe recorded in BENCH_shards.json "
+        "(flat_point_batch_breakdown) — re-run it after engine changes.",
         "",
     ]
     block = "\n".join(lines)
