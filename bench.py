@@ -206,6 +206,33 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
             total_tokens / timings["stream_pipeline"], 1
         )
 
+    # same pipeline with the JVM-builtin dedup (dropDuplicatesWithinWatermark)
+    # — the production default for PLAIN exact dedup; the custom
+    # applyInPandasWithState variant above is the CEP/extension path and the
+    # conservative number for scaling claims
+    def stream_pipeline_builtin():
+        import tempfile
+
+        from dataflow_spark.streaming.pipeline import run_dedup_filter_stream
+
+        with tempfile.TemporaryDirectory() as tmp:
+            q = run_dedup_filter_stream(
+                spark,
+                corpus_dir,
+                os.path.join(tmp, "out"),
+                os.path.join(tmp, "ckpt"),
+                max_files_per_trigger=64,
+                dedup_mode="builtin",
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    bench("stream_pipeline_builtin", stream_pipeline_builtin)
+    if "stream_pipeline_builtin" in timings:
+        extras["stream_builtin_tokens_per_sec"] = round(
+            total_tokens / timings["stream_pipeline_builtin"], 1
+        )
+
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     bench(
         "window_agg",

@@ -125,3 +125,59 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_dedup_mode_builtin_matches_custom(spark, tmp_path):
+    """run_dedup_filter_stream(dedup_mode='builtin') keeps exactly the same
+    survivor set as the custom sharded-state operator: first occurrence per
+    token-array hash, multi-file source so the state actually spans
+    micro-batches."""
+    import os
+
+    from dataflow_spark.streaming.pipeline import run_dedup_filter_stream
+
+    corpus_dir = str(tmp_path / "c")
+    write_file(
+        spark,
+        make_rows(
+            [
+                (1, toks(1, 2, 3), "cc", 0),
+                (2, toks(1, 2, 3), "cc", 5),  # dup of 1, same batch
+                (3, toks(4), "web", 10),
+            ]
+        ),
+        corpus_dir,
+    )
+    write_file(
+        spark,
+        make_rows(
+            [
+                (4, toks(1, 2, 3), "cc", 20),  # dup of 1, later batch
+                (5, toks(7, 8), "web", 30),
+            ]
+        ),
+        corpus_dir,
+    )
+
+    survivors = {}
+    for mode in ("custom", "builtin"):
+        out = str(tmp_path / f"out_{mode}")
+        q = run_dedup_filter_stream(
+            spark,
+            corpus_dir,
+            out,
+            str(tmp_path / f"ckpt_{mode}"),
+            max_files_per_trigger=1,
+            n_shards=4,
+            dedup_mode=mode,
+        )
+        q.processAllAvailable()
+        q.stop()
+        survivors[mode] = sorted(
+            r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+    assert survivors["custom"] == survivors["builtin"] == [
+        "d000001",
+        "d000003",
+        "d000005",
+    ]
