@@ -692,22 +692,30 @@ def minhash_dropped_buckets(
     shingle_n: int = 5,
     seed: int = 1,
     bucket_cap: int = 100_000,
+    use_tokens: bool = False,
+    token_ngram: int = 3,
 ) -> DataFrame:
     """Audit companion to minhash_dedup's bucket_cap ("no silent caps"):
     returns (band_id, band_hash, size) for every bucket the cap would drop.
-    Runs the same signature chain; intended for pipeline health checks, not
-    the hot path."""
-    s = F.col(key)
-    shingles = F.when(
-        F.length(s) >= shingle_n,
-        F.expr(
-            f"transform(sequence(1, length({key}) - {shingle_n} + 1), "
-            f"i -> substring({key}, i, {shingle_n}))"
-        ),
-    ).otherwise(F.array(s))
-    shingle_hashes = F.transform(shingles, lambda g: F.xxhash64(g))
-    band_udf = minhash_band_udf(num_perm, bands, seed)
-    sig = df.select(F.col(seq_col).alias("_seq"), band_udf(shingle_hashes).alias("_bands"))
+    Runs the same signature chain (``use_tokens`` mirrors minhash_dedup's
+    tokens fast path); intended for pipeline health checks, not the hot
+    path."""
+    if use_tokens:
+        bands_expr = minhash_bands_from_tokens_udf(
+            num_perm, bands, token_ngram, seed
+        )(F.col("tokens"))
+    else:
+        s = F.col(key)
+        shingles = F.when(
+            F.length(s) >= shingle_n,
+            F.expr(
+                f"transform(sequence(1, length({key}) - {shingle_n} + 1), "
+                f"i -> substring({key}, i, {shingle_n}))"
+            ),
+        ).otherwise(F.array(s))
+        shingle_hashes = F.transform(shingles, lambda g: F.xxhash64(g))
+        bands_expr = minhash_band_udf(num_perm, bands, seed)(shingle_hashes)
+    sig = df.select(F.col(seq_col).alias("_seq"), bands_expr.alias("_bands"))
     return (
         # outer + null-drop: same double-UDF-eval avoidance as
         # _minhash_from_hashes

@@ -124,6 +124,19 @@ def test_minhash_bucket_cap(spark):
     assert sorted(r["doc_seq"] for r in normal.collect()) == [0, 99]
 
 
+def test_minhash_bucket_cap_tokens_audit(spark):
+    """The audit query mirrors the tokens fast path: identical token rows
+    land every band in one bucket; use_tokens=True reports them."""
+    rows = [(f"d{i}", i, list(range(50)), 50, "cc") for i in range(30)]
+    rows.append(("u", 99, list(range(500, 560)), 60, "cc"))
+    df = spark.createDataFrame(rows, TOKEN_SCHEMA)
+    audit = dedup.minhash_dropped_buckets(df, use_tokens=True, bucket_cap=10)
+    reported = audit.collect()
+    assert len(reported) >= 16 and all(r["size"] == 30 for r in reported)
+    capped = dedup.minhash_dedup(df, use_tokens=True, bucket_cap=10)
+    assert capped.count() == 31
+
+
 def test_simhash_dedup_parity(spark):
     rows = make_docs(n=120, dup_frac=0.25)
     df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
