@@ -43,7 +43,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Local mode: driver.memory IS the whole JVM, and per-task working
+        # memory (shuffle/Arrow/agg buffers) scales with CONCURRENT tasks —
+        # a fixed 8g that survives 8 threads heap-OOMs at 32 threads on a
+        # 4x corpus (measured: minhash r3200 died in the bucket shuffle).
+        # 1 GiB/core mirrors a typical executor sizing (4-8 cores, 4-8 GiB).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cpus)}g"),
+        )
         # Broadcast joins up to 64 MiB — dimension tables / blocklists.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
