@@ -1464,6 +1464,24 @@ _refine_query("refine_stem_porter", _ref.porter_stem_words)
 # RE2 SQL; parity vs the pure-Python algorithm (75 published test vectors)
 # is asserted in tests/test_refiners.py.
 
+_refine_query("refine_lemmatize_morphy", _ref.lemmatize_words)
+_ORACLES["refine_lemmatize_morphy"] = r"""
+    SELECT doc_id,
+      array_to_string(list_transform(regexp_extract_all(text, '\S+'),
+        w -> CASE
+          WHEN ends_with(w, 'ches') OR ends_with(w, 'shes')
+            OR ends_with(w, 'xes') OR ends_with(w, 'zes')
+            THEN substr(w, 1, length(w) - 2)
+          WHEN ends_with(w, 'men') THEN substr(w, 1, length(w) - 3) || 'man'
+          WHEN ends_with(w, 'ies') THEN substr(w, 1, length(w) - 3) || 'y'
+          WHEN ends_with(w, 'ves') THEN substr(w, 1, length(w) - 3) || 'f'
+          WHEN ends_with(w, 's') AND NOT ends_with(w, 'ss')
+            AND NOT ends_with(w, 'us') AND NOT ends_with(w, 'is')
+            AND length(w) > 2 THEN substr(w, 1, length(w) - 1)
+          ELSE w END), ' ') AS text_out
+    FROM documents
+"""
+
 _refine_query("refine_stem_words", _ref.stem_words)
 _ORACLES["refine_stem_words"] = r"""
     SELECT doc_id,

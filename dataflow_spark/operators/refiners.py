@@ -264,7 +264,55 @@ def porter_stem_words(col) -> Column:
     return udf(c(col))
 
 
+def lemmatize_words(col) -> Column:
+    """StemmingLemmatizationRefiner(method='lemmatization')
+    (stemming_lemmatization_refiner.py:56-65 wraps nltk WordNetLemmatizer):
+    word-wise noun lemmatization, rejoined with single spaces.
+
+    The real WordNetLemmatizer is morphy = detachment rules + LEXICON filter
+    + exception list; the WordNet data files are absent from this sandbox, so
+    this is the published morphy noun detachment rule set applied rules-only,
+    first-longest-match, with no lexicon to arbitrate candidates:
+
+      -ches/-shes/-xes/-zes -> strip 'es'   (sibilant plurals: church, box)
+      -men  -> -man                          (women -> woman)
+      -ies  -> -y                            (ladies -> lady)
+      -ves  -> -f                            (wolves -> wolf)
+      -s    -> ''   guarded: not -ss/-us/-is, len > 2   (dogs -> dog)
+
+    The '-ses' ambiguity (horses = horse+s vs buses = bus+es) is resolved
+    toward the far more common e-stem class by the bare-s rule (horses ->
+    horse; buses -> buse is the documented approximation error — only the
+    WordNet lexicon can arbitrate that pair).  Pure Catalyst (split ->
+    transform -> array_join), whole-stage codegen, no Python."""
+    ws = F.filter(F.split(c(col), r"\s+"), lambda w: w != "")
+
+    def lem(w):
+        strip = lambda n: F.substring(w, 1, F.length(w) - n)  # noqa: E731
+        return (
+            F.when(
+                w.endswith("ches") | w.endswith("shes") | w.endswith("xes") | w.endswith("zes"),
+                strip(2),
+            )
+            .when(w.endswith("men"), F.concat(strip(3), F.lit("man")))
+            .when(w.endswith("ies"), F.concat(strip(3), F.lit("y")))
+            .when(w.endswith("ves"), F.concat(strip(3), F.lit("f")))
+            .when(
+                w.endswith("s")
+                & ~w.endswith("ss")
+                & ~w.endswith("us")
+                & ~w.endswith("is")
+                & (F.length(w) > 2),
+                strip(1),
+            )
+            .otherwise(w)
+        )
+
+    return F.array_join(F.transform(ws, lem), " ")
+
+
 register("RemoveEmoticonsRefiner")(refine_stage("RemoveEmoticonsRefiner", remove_emoticons))
 register("RemoveContractionsRefiner")(refine_stage("RemoveContractionsRefiner", remove_contractions))
 register("StemmingLemmatizationRefiner")(refine_stage("StemmingLemmatizationRefiner", stem_words))
 register("PorterStemmingRefiner")(refine_stage("PorterStemmingRefiner", porter_stem_words))
+register("LemmatizationRefiner")(refine_stage("LemmatizationRefiner", lemmatize_words))

@@ -143,3 +143,24 @@ def test_porter_refiner_spark_parity(spark):
     for (_, seq, text, _) in rows:
         want = " ".join(porter_stem(w) for w in text.split())
         assert got[seq] == want, f"row {seq}"
+
+
+def test_lemmatize_morphy_vectors(spark):
+    """Rules-only morphy noun detachment (lemmatize_words docstring contract):
+    fixed vectors per rule family, incl. the documented -ses approximation."""
+    vectors = {
+        "churches": "church", "wishes": "wish", "boxes": "box",
+        "quizzes": "quizze"[:5] + "", "women": "woman", "freshmen": "freshman",
+        "ladies": "lady", "wolves": "wolf", "leaves": "leaf",
+        "dogs": "dog", "horses": "horse", "cases": "case",
+        "glass": "glass", "bonus": "bonus", "axis": "axis", "is": "is",
+        "buses": "buse",  # documented error class: lexicon-only arbitration
+        "men": "man", "tokens": "token",
+    }
+    vectors["quizzes"] = "quizz"
+    rows = [("d%d" % i, i, w, "s") for i, w in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "doc_id string, doc_seq long, text string, source string")
+    out = get_operator("LemmatizationRefiner", input_key="text").apply(df)
+    got = {r["doc_seq"]: r["text"] for r in out.collect()}
+    for i, (w, want) in enumerate(vectors.items()):
+        assert got[i] == want, (w, got[i], want)
