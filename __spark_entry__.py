@@ -2363,6 +2363,126 @@ def kbc_chunk_sentences(spark, sf_dir):
     return chunk_sentences(docs, chunk_size=5, chunk_overlap=1)
 
 
+def _topic_embed(sents):
+    """Injected gate embedder: one-hot 3-topic vector from md5 of the
+    sentence text.  Under one-hot embeddings the semantic walk's cosine rule
+    degenerates to exact run-length grouping (cos==1 within a topic run,
+    0 across), so the whole walk — merge rule, word budget, ordering — is
+    reproducible in closed form in SQL.  The default hash embedder is
+    covered by the Spark-vs-kernel parity test (tests/test_chunking.py)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros((len(sents), 3))
+    for i, s in enumerate(sents):
+        out[i, int(hashlib.md5(s.encode()).hexdigest()[0], 16) % 3] = 1.0
+    return out
+
+
+@q(
+    "kbc_chunk_semantic",
+    rf"""
+    WITH s AS (
+      SELECT doc_id, j, md5((doc_id * 137 + j)::VARCHAR) || '.' AS sent
+      FROM documents, range(0, {_SYN_SENT_N}) r(j)
+    ),
+    t AS (
+      SELECT doc_id, j, sent,
+        (strpos('0123456789abcdef', substring(md5(sent), 1, 1)) - 1) % 3 AS topic
+      FROM s
+    ),
+    f AS (
+      SELECT doc_id, j, sent, topic,
+        CASE WHEN topic IS DISTINCT FROM
+          lag(topic) OVER (PARTITION BY doc_id ORDER BY j) THEN 1 ELSE 0 END AS flip
+      FROM t
+    ),
+    r AS (
+      SELECT *, sum(flip) OVER (PARTITION BY doc_id ORDER BY j) AS run_id FROM f
+    ),
+    g AS (
+      SELECT *,
+        (row_number() OVER (PARTITION BY doc_id, run_id ORDER BY j) - 1) // 3 AS sub
+      FROM r
+    ),
+    c AS (
+      SELECT doc_id, min(j) AS j0,
+        string_agg(sent, ' ' ORDER BY j) AS text,
+        count(*)::INT AS n_sentences
+      FROM g GROUP BY doc_id, run_id, sub
+    )
+    SELECT doc_id,
+      (row_number() OVER (PARTITION BY doc_id ORDER BY j0) - 1)::INT AS chunk_idx,
+      text, n_sentences
+    FROM c
+    """,
+)
+def kbc_chunk_semantic(spark, sf_dir):
+    """KBCChunkGenerator semantic mode (kbc_chunk_generator.py:67-71 wraps
+    chonkie SemanticChunker): sentences merge while cosine-similar to the
+    running chunk centroid, capped by the word budget.  Gate runs the REAL
+    mapInPandas operator with an injected one-hot topic embedder (md5 of the
+    sentence text — computable on both sides), which makes every boundary
+    decision SQL-derivable: groups are topic runs split every chunk_size
+    words.  Value-hash covers chunk text, sentence counts and ordering."""
+    from dataflow_spark.operators.chunking import chunk_semantic
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SYN_SENT_TEXT_EXPR).alias("text")
+    )
+    return chunk_semantic(
+        docs, chunk_size=3, similarity_threshold=0.5, embed=_topic_embed
+    )
+
+
+# recursive-mode gate corpus: 4 three-word paragraphs + one 20-word paragraph
+# (no sentence punctuation), budget 8 -> greedy level-0 merge pairs the short
+# paragraphs (3+3<=8<9), the long paragraph exceeds the budget alone and
+# recurses paragraph->line->sentence (all single-part) down to word windows
+# 8/8/4.  Expected output is closed-form, so the oracle states it directly.
+_RC_TEXT_EXPR = """
+concat(
+  array_join(transform(sequence(0, 3), i ->
+    array_join(transform(sequence(0, 2), j ->
+      concat('d', cast(doc_id as string), 'p', cast(i as string),
+             'w', cast(j as string))), ' ')), '\n\n'),
+  '\n\n',
+  array_join(transform(sequence(0, 19), j ->
+    concat('d', cast(doc_id as string), 'Lw', cast(j as string))), ' '))
+"""
+
+
+@q(
+    "kbc_chunk_recursive",
+    r"""
+    SELECT doc_id, k::INT AS chunk_idx,
+      CASE WHEN k < 2 THEN array_to_string(list_transform(range(0, 6),
+             x -> 'd' || doc_id::VARCHAR || 'p' || (2*k + x // 3)::VARCHAR
+                  || 'w' || (x % 3)::VARCHAR), ' ')
+           ELSE array_to_string(list_transform(
+             range(8*(k-2), least(20, 8*(k-2) + 8)),
+             j -> 'd' || doc_id::VARCHAR || 'Lw' || j::VARCHAR), ' ')
+      END AS text,
+      (CASE WHEN k < 2 THEN 6 WHEN k = 4 THEN 4 ELSE 8 END)::INT AS n_words
+    FROM documents, range(0, 5) r(k)
+    """,
+)
+def kbc_chunk_recursive(spark, sf_dir):
+    """KBCChunkGenerator recursive mode (kbc_chunk_generator.py:72-76 wraps
+    chonkie RecursiveChunker): paragraph -> line -> sentence -> word ladder
+    with greedy within-budget merging.  The crafted corpus exercises the
+    paragraph split, the greedy pairwise merge, the oversize-piece recursion
+    and the word-level hard windowing; the oracle states the closed-form
+    expected chunks, value-hashing content, order and word counts."""
+    from dataflow_spark.operators.chunking import chunk_recursive
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_RC_TEXT_EXPR).alias("text")
+    )
+    return chunk_recursive(docs, chunk_size=8)
+
+
 @q(
     "eval_perplexity_tokens",
     rf"""

@@ -134,3 +134,187 @@ def test_chunk_sentences_short_doc_single_chunk(spark):
     rows = chunk_sentences(df, chunk_size=5, chunk_overlap=1).collect()
     assert len(rows) == 1 and rows[0]["n_sentences"] == 2
     assert rows[0]["text"] == "Only two. Sentences here."
+
+
+# ---------------------------------------------------------------------------
+# semantic + recursive modes
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_chunks_injected_embedder_exact_boundaries():
+    """With a controlled embedder (topic keyword -> fixed axis vector) the
+    semantic walk's output is fully determined: same-topic runs merge, topic
+    flips split, the word budget splits within a topic."""
+    import numpy as np
+
+    from dataflow_spark.operators.chunking import semantic_chunks_py
+
+    def embed(sents):
+        out = np.zeros((len(sents), 3))
+        for i, s in enumerate(sents):
+            out[i, 0 if "cat" in s.lower() else 1 if "bond" in s.lower() else 2] = 1.0
+        return out
+
+    text = (
+        "The cat sat. The cat ran. The cat slept. "
+        "Bonds rallied today. Bonds fell later. "
+        "Something else entirely."
+    )
+    got = semantic_chunks_py(text, chunk_size=100, similarity_threshold=0.5, embed=embed)
+    assert got == [
+        ("The cat sat. The cat ran. The cat slept.", 3),
+        ("Bonds rallied today. Bonds fell later.", 2),
+        ("Something else entirely.", 1),
+    ]
+    # word budget forces a split inside the cat topic: each sentence is 3
+    # words, budget 5 holds at most one more after the first
+    got2 = semantic_chunks_py(text, chunk_size=5, similarity_threshold=0.5, embed=embed)
+    assert [n for _, n in got2] == [1, 1, 1, 1, 1, 1]
+
+
+def test_semantic_chunks_sentence_conservation():
+    """Default hash embedder: chunk sentence counts sum to the document's
+    sentence count and concatenated chunk text preserves word order."""
+    import re as _re
+
+    from dataflow_spark.operators.chunking import SENTENCE_RE, semantic_chunks_py, hash_embed
+
+    text = " ".join(
+        f"Topic{i % 4} sentence number {i} talks about thing{i % 4} again."
+        for i in range(25)
+    )
+    chunks = semantic_chunks_py(text, 64, 0.2, hash_embed)
+    assert sum(n for _, n in chunks) == len(_re.findall(SENTENCE_RE, text))
+    assert " ".join(c for c, _ in chunks).split() == text.split()
+    assert all(len(c.split()) <= 64 or n == 1 for c, n in chunks)
+
+
+def test_chunk_semantic_spark_matches_kernel(spark):
+    """mapInPandas output == the pure-python kernel per doc (same default
+    embedder), over docs with varied shapes incl. empty and punct-free."""
+    from dataflow_spark.operators.chunking import chunk_semantic, hash_embed, semantic_chunks_py
+
+    docs = [
+        ("d0", "The cat sat. The cat ran. Markets fell. Markets rose. The cat slept."),
+        ("d1", "one sentence only."),
+        ("d2", ""),
+        ("d3", "no punctuation at all just words"),
+        ("d4", " ".join(f"Filler sentence {i} about stuff." for i in range(40))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {}
+    for r in chunk_semantic(df, chunk_size=32, similarity_threshold=0.25).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["text"], r["n_sentences"]))
+    for did, txt in docs:
+        want = [
+            (i, c, n)
+            for i, (c, n) in enumerate(semantic_chunks_py(txt, 32, 0.25, hash_embed))
+        ]
+        assert sorted(got.get(did, [])) == want, did
+
+
+def _mirror_recursive(text, budget):
+    """Independent recursive mirror of the split-merge ladder (true call
+    recursion, separate code path from the engine's)."""
+    import re as _re
+
+    from dataflow_spark.operators.chunking import SENTENCE_RE
+
+    words = _re.findall(r"\S+", text or "")
+    if not words:
+        return []
+    if len(words) <= budget:
+        return [text]
+
+    def rec(piece, level):
+        if level >= 3:
+            ws = _re.findall(r"\S+", piece)
+            return [" ".join(ws[i : i + budget]) for i in range(0, len(ws), budget)]
+        parts = {
+            0: [p for p in _re.split(r"\n{2,}", piece) if p.strip()],
+            1: [p for p in piece.split("\n") if p.strip()],
+            2: _re.findall(SENTENCE_RE, piece),
+        }[level]
+        if len(parts) <= 1:
+            return rec(piece, level + 1)
+        groups, cur, cur_w = [], [], 0
+        for p in parts:
+            w = len(_re.findall(r"\S+", p))
+            if cur and cur_w + w <= budget:
+                cur.append(p)
+                cur_w += w
+            else:
+                if cur:
+                    groups.append((" ".join(cur), cur_w))
+                cur, cur_w = [p], w
+        groups.append((" ".join(cur), cur_w))
+        out = []
+        for g, w in groups:
+            out.extend(rec(g, level + 1) if w > budget else [g])
+        return out
+
+    return rec(text, 0)
+
+
+def test_recursive_chunks_mirror_parity():
+    from dataflow_spark.operators.chunking import recursive_chunks_py
+
+    docs = [
+        "",
+        "tiny doc",
+        " ".join(f"w{i}" for i in range(500)),
+        "\n\n".join(
+            "Para %d. %s" % (i, " ".join(f"s{j} word." for j in range(i * 3)))
+            for i in range(8)
+        ),
+        "line one\nline two with more words here\n" * 40,
+        "One sentence. " * 100,
+    ]
+    for budget in (16, 64, 200):
+        for d in docs:
+            assert recursive_chunks_py(d, budget) == _mirror_recursive(d, budget), (
+                budget,
+                d[:40],
+            )
+
+
+def test_chunk_recursive_spark_properties(spark):
+    """Spark output: word coverage in order per doc, budget respected
+    (word-level hard split guarantees it once levels are exhausted)."""
+    import re as _re
+
+    from dataflow_spark.operators.chunking import chunk_recursive
+
+    docs = [
+        ("d0", "\n\n".join(" ".join(f"p{i}w{j}" for j in range(50)) for i in range(6))),
+        ("d1", " ".join(f"only{i}" for i in range(10))),
+        ("d2", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {}
+    for r in chunk_recursive(df, chunk_size=64).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["text"], r["n_words"]))
+    for did, txt in docs:
+        chunks = [t for _, t, _ in sorted(got.get(did, []))]
+        assert _re.findall(r"\S+", " ".join(chunks)) == _re.findall(r"\S+", txt), did
+        for _, t, nw in got.get(did, []):
+            assert nw <= 64
+    assert "d2" not in got
+
+
+def test_chunk_stage_semantic_recursive_routing(spark):
+    from dataflow_spark.core.stage import get_operator
+
+    df = spark.createDataFrame(
+        [("a", "Alpha beta. Alpha gamma. Delta epsilon zeta.")],
+        "doc_id string, text string",
+    )
+    sem = get_operator(
+        "KBCChunkGenerator", input_key="text", split_method="semantic", chunk_size=50
+    ).apply(df)
+    rec = get_operator(
+        "KBCChunkGenerator", input_key="text", split_method="recursive", chunk_size=50
+    ).apply(df)
+    assert {"doc_id", "chunk_idx", "text", "n_sentences"} == set(sem.columns)
+    assert {"doc_id", "chunk_idx", "text", "n_words"} == set(rec.columns)
+    assert sem.count() >= 1 and rec.count() == 1

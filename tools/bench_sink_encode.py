@@ -1,14 +1,17 @@
-"""Micro-bench: parquet encode cost of the token-array sink.
+"""Measure the exactly-once sink's parquet encode cost for the token-array
+payload under different codec/encoding settings.
 
-The shard-sweep breakdown (BENCH_shards.json flat_point_batch_breakdown)
-attributes ~6 s of the 17 s micro-batch body to the exactly-once parquet sink,
-dominated by encoding `tokens:array<int32>`.  This probe times a full
-corpus rewrite under candidate parquet options to pick the sink default:
+Motivation: the shard-sweep breakdown (BENCH_shards.json) attributes ~6 s of
+a 17 s micro-batch to the sink — parquet-encoding `tokens:array<int32>`
+dominates.  Two knobs plausibly matter:
 
-  codec x dictionary x writer-version
+* compression codec — snappy (default) vs lz4raw vs zstd vs uncompressed;
+* dictionary encoding — the int32 token elements have ~50k distinct values,
+  so parquet builds a dictionary page and dict-indexes EVERY token; PLAIN
+  encoding is a straight copy.
 
-Run:  python tools/bench_sink_encode.py [replicas]
-Emits one JSON line per configuration: {conf, write_s, bytes}.
+Usage: python tools/bench_sink_encode.py [replicas] [repeats]
+Writes one JSON line with median seconds + output bytes per config.
 """
 
 from __future__ import annotations
@@ -16,63 +19,70 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+CONFIGS = [
+    # (label, codec, dictionary_enabled)
+    ("snappy_dict", "snappy", True),
+    ("snappy_plain", "snappy", False),
+    ("lz4raw_plain", "lz4raw", False),
+    ("zstd_dict", "zstd", True),
+    ("zstd_plain", "zstd", False),
+    ("none_plain", "uncompressed", False),
+]
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def main():
-    os.environ.setdefault("BENCH_REPLICAS", str(REPLICAS))
-    import bench
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from bench import amplified_corpus
     from dataflow_spark.session import get_spark
 
-    spark = get_spark(app_name="sink_encode_probe", cpus=32)
-    corpus_dir = bench.ensure_corpus(spark)
-    df = spark.read.parquet(corpus_dir)
-    df.persist().count()  # isolate encode+write: input comes from cache
+    spark = get_spark(app_name="sink_encode_bench", cpus=32, shuffle_partitions=32)
+    src = "/tmp/sink_encode_src"
+    if not os.path.exists(src):
+        amplified_corpus(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), replicas).write.mode(
+            "overwrite"
+        ).parquet(src)
+    df = spark.read.parquet(src)
+    n_tok = df.agg({"n_tok": "sum"}).collect()[0][0]
+    df = df.persist()
+    df.count()  # cache the input so every config pays encode+write only
 
-    confs = [
-        # (label, codec, dictionary, writer_version)
-        ("snappy_dict_v1", "snappy", "true", "v1"),   # current default
-        ("snappy_nodict_v1", "snappy", "false", "v1"),
-        ("lz4_dict_v1", "lz4", "true", "v1"),
-        ("zstd_dict_v1", "zstd", "true", "v1"),
-        ("none_dict_v1", "uncompressed", "true", "v1"),
-        ("snappy_dict_v2", "snappy", "true", "v2"),   # v2: delta-binary-packed ints
-        ("snappy_nodict_v2", "snappy", "false", "v2"),
-        ("lz4_nodict_v2", "lz4", "false", "v2"),
-    ]
-    out_base = "/tmp/sink_encode_probe"
-    results = []
-    for label, codec, dic, ver in confs:
-        out = os.path.join(out_base, label)
-        shutil.rmtree(out, ignore_errors=True)
+    out = {}
+    for label, codec, dict_on in CONFIGS:
         samples = []
-        for _ in range(3):
-            shutil.rmtree(out, ignore_errors=True)
-            t0 = time.time()
+        dest = f"/tmp/sink_encode_out_{label}"
+        for _ in range(repeats):
+            shutil.rmtree(dest, ignore_errors=True)
+            t0 = time.monotonic()
             (
                 df.write.mode("overwrite")
                 .option("compression", codec)
-                .option("parquet.enable.dictionary", dic)
-                .option("parquet.writer.version", ver)
-                .parquet(out)
+                .option("parquet.enable.dictionary", str(dict_on).lower())
+                .parquet(dest)
             )
-            samples.append(round(time.time() - t0, 2))
-        nbytes = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _d, fs in os.walk(out)
-            for f in fs
-        )
-        rec = {"conf": label, "write_s": sorted(samples)[1], "samples": samples,
-               "gib": round(nbytes / 2**30, 3)}
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
-        shutil.rmtree(out, ignore_errors=True)
-    print(json.dumps({"all": results}))
+            samples.append(time.monotonic() - t0)
+        out[label] = {
+            "median_s": round(statistics.median(samples), 3),
+            "samples": [round(s, 3) for s in samples],
+            "bytes": dir_bytes(dest),
+        }
+        shutil.rmtree(dest, ignore_errors=True)
+    print(json.dumps({"n_tokens": int(n_tok), "configs": out}))
     spark.stop()
 
 
