@@ -2583,11 +2583,13 @@ _PRIORITY = (
     "tpch_q3_top_orders",
     # text2sql
     "text2sql_component_classify",
-    # representative rule-filter + refiner coverage
-    "filter_word_number",
+    # chunking round-3 additions (value-hashed semantic walk + recursive ladder)
+    "kbc_chunk_semantic",
+    "kbc_chunk_recursive",
+    # representative rule-filter + refiner coverage (the full families are
+    # value-checked by tools/check_oracles.py outside the driver's window)
     "filter_stop_word",
     "filter_language_en",
-    "refine_remove_extra_spaces",
     "refine_text_normalization",
 )
 

@@ -66,9 +66,18 @@ def ensure_corpus(spark) -> str:
         # low-core run must not write fat files that starve a high-core run
         # of input splits, and 256 splits give 8 balanced waves at 32 cores
         # (64 files left a 2-wave straggler tail).
-        amplified_corpus(spark, SF_DIR, REPLICAS).repartition(256).write.mode(
+        # zstd + no-dictionary: the engine's sink encoding (measured 4.2x
+        # smaller than snappy+dict at equal encode speed for int32 token
+        # arrays — streaming/pipeline.py SINK_PARQUET_OPTIONS); the corpus
+        # stands in for the Iceberg table, whose production codec is zstd.
+        from dataflow_spark.streaming.pipeline import SINK_PARQUET_OPTIONS
+
+        w = amplified_corpus(spark, SF_DIR, REPLICAS).repartition(256).write.mode(
             "overwrite"
-        ).parquet(CORPUS_DIR)
+        )
+        for k, v in SINK_PARQUET_OPTIONS.items():
+            w = w.option(k, v)
+        w.parquet(CORPUS_DIR)
     return CORPUS_DIR
 
 

@@ -39,6 +39,29 @@ from dataflow_spark.corpus import CORPUS_SCHEMA
 
 N_SHARDS_DEFAULT = 64
 
+# Sink parquet encoding for the token-array payload, measured on the 110M-token
+# amplified corpus (tools/bench_sink_encode.py, median of 5):
+#   snappy+dict (parquet default)  10.6 s   49.4 MB
+#   zstd+dict                      12.3 s   12.4 MB
+#   zstd, dictionary OFF            9.3 s   11.8 MB   <- default here
+#   snappy, dictionary OFF          8.9 s   83.2 MB
+# Dictionary encoding is the encode-time cost (every int32 token gets
+# dict-indexed against a ~50k-entry page); PLAIN int32 + zstd compresses the
+# low-entropy high bytes 4.2x better than snappy at equal speed.  At the
+# 100 TB design point the 4.2x bytes reduction is also the downstream scan
+# win; zstd is Iceberg's recommended table codec.
+SINK_PARQUET_OPTIONS = {
+    "compression": "zstd",
+    "parquet.enable.dictionary": "false",
+}
+
+
+def _sink_writer(df: DataFrame):
+    w = df.write.mode("overwrite")
+    for k, v in SINK_PARQUET_OPTIONS.items():
+        w = w.option(k, v)
+    return w
+
 
 def iceberg_source(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg streaming source — requires iceberg-spark-runtime jars (not in
@@ -324,7 +347,7 @@ def idempotent_parquet_sink(out_dir: str, metrics_path: str | None = None):
             # the just-written files from disk or re-running the upstream
             # stateful plan — one extra in-memory agg job, no second scan.
             out = out.persist()
-        out.write.mode("overwrite").parquet(batch_dir)
+        _sink_writer(out).parquet(batch_dir)
         if metrics_path:
             tok = (
                 F.sum("n_tok") if "n_tok" in out.columns else F.lit(0)
@@ -688,11 +711,13 @@ def run_near_dedup_stream_exact(
                 new_bands = bands_of(survivors).withColumn(
                     "bucket", F.pmod("band_hash", F.lit(n_state_buckets))
                 ).persist()
-                new_bands.write.mode("overwrite").partitionBy("bucket").parquet(sb_dir)
+                _sink_writer(new_bands).partitionBy("bucket").parquet(sb_dir)
                 if not os.path.exists(os.path.join(sm_dir, "_SUCCESS")):
-                    new_bands.select(
-                        F.shiftright("band_hash", pfx_shift).alias("p")
-                    ).distinct().coalesce(1).write.mode("overwrite").parquet(sm_dir)
+                    _sink_writer(
+                        new_bands.select(
+                            F.shiftright("band_hash", pfx_shift).alias("p")
+                        ).distinct().coalesce(1)
+                    ).parquet(sm_dir)
                 new_bands.unpersist()
             if metrics_path and not os.path.exists(
                 os.path.join(out_dir, f"batch_id={batch_id}", "_SUCCESS")
@@ -748,8 +773,8 @@ def route_by_source(
                     part = part.where(p)
                 d = os.path.join(out_dir, f"source={src}", f"batch_id={batch_id}")
                 if not os.path.exists(os.path.join(d, "_SUCCESS")):
-                    part.withColumn("part_id", F.spark_partition_id()).write.mode(
-                        "overwrite"
+                    _sink_writer(
+                        part.withColumn("part_id", F.spark_partition_id())
                     ).parquet(d)
             if default_route is not None:
                 rest = df.where(~F.col("source").isin(routed_sources))
@@ -757,8 +782,8 @@ def route_by_source(
                     out_dir, f"source={default_route}", f"batch_id={batch_id}"
                 )
                 if not os.path.exists(os.path.join(d, "_SUCCESS")):
-                    rest.withColumn("part_id", F.spark_partition_id()).write.mode(
-                        "overwrite"
+                    _sink_writer(
+                        rest.withColumn("part_id", F.spark_partition_id())
                     ).parquet(d)
         finally:
             df.unpersist()

@@ -318,3 +318,51 @@ def test_chunk_stage_semantic_recursive_routing(spark):
     assert {"doc_id", "chunk_idx", "text", "n_sentences"} == set(sem.columns)
     assert {"doc_id", "chunk_idx", "text", "n_words"} == set(rec.columns)
     assert sem.count() >= 1 and rec.count() == 1
+
+
+# hypothesis properties for the python kernels (no Spark session needed)
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=0, max_size=120
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_WORDS, st.integers(1, 20), st.sampled_from(["\n\n", "\n", " "]))
+def test_recursive_kernel_properties(words, budget, sep):
+    """For any word soup under any separator structure: full word coverage in
+    order, and every chunk within budget (word-level hard split guarantees
+    it — no level can emit an oversize chunk)."""
+    import re as _re
+
+    from dataflow_spark.operators.chunking import recursive_chunks_py
+
+    text = sep.join(words)
+    chunks = recursive_chunks_py(text, budget)
+    got = _re.findall(r"\S+", " ".join(chunks))
+    assert got == _re.findall(r"\S+", text)
+    for c in chunks:
+        assert len(_re.findall(r"\S+", c)) <= budget
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.sampled_from(["cat sat here.", "bond fell today.", "misc thing now."]),
+             min_size=0, max_size=30),
+    st.integers(2, 12),
+    st.floats(0.0, 1.0),
+)
+def test_semantic_kernel_properties(sents, budget, thresh):
+    """Sentence conservation + budget: counts sum to the input sentence count,
+    word order preserved, and no multi-sentence chunk exceeds the budget."""
+    from dataflow_spark.operators.chunking import hash_embed, semantic_chunks_py
+
+    text = " ".join(sents)
+    chunks = semantic_chunks_py(text, budget, thresh, hash_embed)
+    assert sum(n for _, n in chunks) == len(sents)
+    assert " ".join(c for c, _ in chunks).split() == text.split()
+    for c, n in chunks:
+        if n > 1:
+            assert len(c.split()) <= budget

@@ -171,6 +171,71 @@ def test_read_write_roundtrip(spark, tmp_path):
         }
 
 
+def test_pickle_xlsx_roundtrip(spark, tmp_path):
+    df = spark.range(15).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("score"),
+        F.concat(F.lit("na<me&\"'>"), F.col("id").cast("string")).alias("s"),
+    )
+    for ext in ("pkl", "xlsx"):
+        p = str(tmp_path / f"t.{ext}")
+        src_io.write_any(df, p)
+        back = src_io.read_any(spark, p)
+        assert back.columns == df.columns
+        assert sorted(
+            (r.id, r.score, r.s) for r in back.collect()
+        ) == sorted((r.id, r.score, r.s) for r in df.collect())
+
+
+def test_xlsx_nulls_and_shared_strings(spark, tmp_path):
+    # a null cell is simply absent from the row XML; reader must re-align
+    # columns from cell refs, not positions
+    df = spark.createDataFrame(
+        [("a", None, 1), (None, "b", 2)], "c1 string, c2 string, c3 long"
+    )
+    p = str(tmp_path / "n.xlsx")
+    src_io.write_xlsx(df, p)
+    back = src_io.read_xlsx(spark, p)
+    assert sorted(
+        ((r.c1, r.c2, r.c3) for r in back.collect()), key=lambda t: t[2]
+    ) == [("a", None, 1), (None, "b", 2)]
+
+
+def test_dataset_dir_reader(spark, tmp_path):
+    # mimic datasets.save_to_disk: Arrow IPC stream shards + state.json
+    import json
+
+    import pyarrow as pa
+
+    d = tmp_path / "dumped" / "train"
+    d.mkdir(parents=True)
+    tbl = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(40)],
+            "tokens": [[i, i + 1, i + 2] for i in range(40)],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.string()), ("tokens", pa.list_(pa.int32()))]
+        ),
+    )
+    files = []
+    for shard_i in range(2):
+        f = d / f"data-{shard_i:05d}-of-00002.arrow"
+        with pa.ipc.new_stream(str(f), tbl.schema) as w:
+            w.write_table(tbl.slice(shard_i * 20, 20))
+        files.append(f.name)
+    (d / "state.json").write_text(
+        json.dumps({"_data_files": [{"filename": n} for n in files]})
+    )
+    back = src_io.read_dataset_dir(spark, str(d))
+    assert back.count() == 40
+    rows = {r.doc_id: list(r.tokens) for r in back.collect()}
+    assert rows["d7"] == [7, 8, 9]
+    # hub-spec routing: local dir via hf: prefix with split suffix
+    via_hub = src_io.read_hub(spark, f"hf:{tmp_path / 'dumped'}:train")
+    assert via_hub.count() == 40
+
+
 def test_hub_spec_parse():
     assert src_io.parse_hub_spec("hf:c4:en:train") == {
         "hub": "hf", "dataset": "c4", "config": "en", "split": "train"

@@ -29,7 +29,7 @@ CONFIGS = [
     # (label, codec, dictionary_enabled)
     ("snappy_dict", "snappy", True),
     ("snappy_plain", "snappy", False),
-    ("lz4raw_plain", "lz4raw", False),
+    ("lz4raw_plain", "lz4_raw", False),
     ("zstd_dict", "zstd", True),
     ("zstd_plain", "zstd", False),
     ("none_plain", "uncompressed", False),
