@@ -144,7 +144,21 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
     only = os.environ.get("BENCH_QUERIES")
     only_set = {q.strip() for q in only.split(",")} if only else None
     samples: dict[str, list[float]] = {}
+    steals: dict[str, list[float]] = {}
     extras["samples"] = samples
+    extras["steal_s"] = steals
+
+    def _steal_jiffies() -> int:
+        # /proc/stat cpu line field 8 = steal: jiffies the hypervisor ran
+        # someone else while this VM wanted the CPU.  This sandbox measures
+        # ~5% average steal arriving in BURSTS — a burst mid-sample turns a
+        # 4 s job into a 50-90 s wall-time reading (diagnosed: all 32 tasks
+        # of one stage crawl uniformly while JVM GC time stays <0.2 s).
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return 0
 
     def bench(name, fn):
         if only_set is not None and name not in only_set:
@@ -157,18 +171,28 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
         # runs), so the reported time is the MEDIAN of `timed_runs` (>=5)
         # repeats, with the raw samples + IQR spread published alongside —
         # a single sample (or a min-of-few) conflates engine throughput
-        # with ambient load (VERDICT r2 #9).
+        # with ambient load (VERDICT r2 #9).  Samples that overlapped a
+        # hypervisor CPU-steal burst (steal > 5% of sample wall across the
+        # box) measure the neighbor, not the engine: the headline median is
+        # taken over steal-clean samples when >=2 exist, and every sample's
+        # steal seconds are published alongside.
         import statistics
 
+        hz = os.sysconf("SC_CLK_TCK")
         for _ in range(warmup):
             fn()
-        ts = []
+        ts, st = [], []
         for _ in range(max(1, timed_runs)):
-            t0 = time.time()
+            s0, t0 = _steal_jiffies(), time.time()
             fn()
-            ts.append(round(time.time() - t0, 3))
+            wall = time.time() - t0
+            ts.append(round(wall, 3))
+            st.append(round((_steal_jiffies() - s0) / hz, 3))
         samples[name] = ts
-        timings[name] = round(statistics.median(ts), 3)
+        steals[name] = st
+        ncpu = os.cpu_count() or 1
+        clean = [t for t, s in zip(ts, st) if s < 0.05 * t * ncpu]
+        timings[name] = round(statistics.median(clean if len(clean) >= 2 else ts), 3)
 
     bench("pt_pipeline", lambda: pt_pipeline(spark, corpus_dir))
     if "pt_pipeline" in timings:

@@ -68,12 +68,24 @@ def main():
     timed_runs = int(os.environ.get("BENCH_TIMED_RUNS", "2"))
 
     pool: dict[int, dict[str, list[float]]] = {N: {}, N4: {}}
+    dropped_stolen = 0
     tokens = None
     for s in range(sessions):
         for cpus in (N, N4):  # alternate legs within each round
             r = run_bench(cpus, replicas, queries, timed_runs)
             tokens = r["input_tokens"]
+            steal = r.get("steal_s", {})
+            ncpu = os.cpu_count() or 1
             for q, ts in r["samples"].items():
+                st = steal.get(q, [0.0] * len(ts))
+                # drop samples that overlapped a hypervisor steal burst
+                # (>5% of box capacity for the sample's duration) — they
+                # time the neighbor tenant, not the engine — unless that
+                # would leave fewer than 2 samples from this session
+                clean = [t for t, sv in zip(ts, st) if sv < 0.05 * t * ncpu]
+                if len(clean) >= 2:
+                    dropped_stolen += len(ts) - len(clean)
+                    ts = clean
                 pool[cpus].setdefault(q, []).extend(ts)
             print(
                 f"session {s} local[{cpus}]: "
@@ -117,7 +129,8 @@ def main():
         "replicas": replicas,
         "sessions_per_leg": sessions,
         "input_tokens": tokens,
-        "method": "pinned low leg (taskset), alternating fresh-JVM sessions, pooled samples",
+        "method": "pinned low leg (taskset), alternating fresh-JVM sessions, pooled samples, steal-burst samples dropped",
+        "samples_dropped_for_steal": dropped_stolen,
         "hardware_calibration": calib,
         "per_query": per_q,
     }
