@@ -27,8 +27,11 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "40"))
+_CODEC = os.environ.get("BENCH_CORPUS_CODEC", "snappy")
 CORPUS_DIR = os.environ.get(
-    "BENCH_CORPUS_DIR", f"/tmp/bench_corpus_{os.path.basename(SF_DIR.rstrip('/'))}_r{REPLICAS}"
+    "BENCH_CORPUS_DIR",
+    f"/tmp/bench_corpus_{os.path.basename(SF_DIR.rstrip('/'))}_r{REPLICAS}"
+    + ("" if _CODEC == "snappy" else f"_{_CODEC}")
 )
 
 
@@ -66,18 +69,21 @@ def ensure_corpus(spark) -> str:
         # low-core run must not write fat files that starve a high-core run
         # of input splits, and 256 splits give 8 balanced waves at 32 cores
         # (64 files left a 2-wave straggler tail).
-        # zstd + no-dictionary: the engine's sink encoding (measured 4.2x
-        # smaller than snappy+dict at equal encode speed for int32 token
-        # arrays — streaming/pipeline.py SINK_PARQUET_OPTIONS); the corpus
-        # stands in for the Iceberg table, whose production codec is zstd.
-        from dataflow_spark.streaming.pipeline import SINK_PARQUET_OPTIONS
-
-        w = amplified_corpus(spark, SF_DIR, REPLICAS).repartition(256).write.mode(
+        # INPUT corpus codec stays snappy (BENCH_CORPUS_CODEC to override):
+        # the corpus models the upstream source table and rounds 1-2
+        # benchmarked against snappy, so changing it breaks cross-round
+        # comparability.  A measured zstd-input A/B on this box (r1600,
+        # interleaved legs): zstd's 4.2x smaller files help the IO-bound
+        # 8-core leg ~10% but cost the CPU-bound 32-core leg 15-50%
+        # (decode on the critical path), compressing measured scaling —
+        # an input-side tradeoff for the table owner, not this engine.
+        # SINK outputs (what the engine writes) remain zstd+plain
+        # (streaming/pipeline.py SINK_PARQUET_OPTIONS), where the 4.2x
+        # bytes win costs no encode wall.
+        codec = _CODEC
+        amplified_corpus(spark, SF_DIR, REPLICAS).repartition(256).write.mode(
             "overwrite"
-        )
-        for k, v in SINK_PARQUET_OPTIONS.items():
-            w = w.option(k, v)
-        w.parquet(CORPUS_DIR)
+        ).option("compression", codec).parquet(CORPUS_DIR)
     return CORPUS_DIR
 
 
