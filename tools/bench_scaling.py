@@ -80,10 +80,13 @@ def main():
                 st = steal.get(q, [0.0] * len(ts))
                 # drop samples that overlapped a hypervisor steal burst
                 # (>5% of box capacity for the sample's duration) — they
-                # time the neighbor tenant, not the engine — unless that
-                # would leave fewer than 2 samples from this session
+                # time the neighbor tenant, not the engine.  Even a single
+                # clean sample beats a polluted pair (a burst sample is
+                # biased arbitrarily high, never low), so keep whatever
+                # clean subset exists and only fall back to the polluted
+                # samples when the whole session was inside a burst.
                 clean = [t for t, sv in zip(ts, st) if sv < 0.05 * t * ncpu]
-                if len(clean) >= 2:
+                if clean:
                     dropped_stolen += len(ts) - len(clean)
                     ts = clean
                 pool[cpus].setdefault(q, []).extend(ts)
