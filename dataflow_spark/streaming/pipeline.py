@@ -424,8 +424,15 @@ def run_dedup_filter_stream(
         deduped = streaming_builtin_dedup(stream, watermark_delay)
     elif dedup_mode == "custom":
         deduped = streaming_exact_dedup(stream, watermark_delay, n_shards)
+    elif dedup_mode == "tws":
+        # delta-log state: O(batch) state IO per micro-batch (streaming/tws.py)
+        from dataflow_spark.streaming.tws import streaming_exact_dedup_tws
+
+        deduped = streaming_exact_dedup_tws(stream, watermark_delay, n_shards)
     else:
-        raise ValueError(f"dedup_mode {dedup_mode!r}: 'custom' or 'builtin'")
+        raise ValueError(
+            f"dedup_mode {dedup_mode!r}: 'custom', 'builtin' or 'tws'"
+        )
     filtered = deduped.where(keep_n_tok_range(1, 10**9))
     for cond in filters or []:
         filtered = filtered.where(cond)
