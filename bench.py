@@ -213,7 +213,10 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
         samples[name] = ts
         steals[name] = st
         ncpu = os.cpu_count() or 1
-        clean = [t for t, s in zip(ts, st) if s < 0.05 * t * ncpu]
+        # threshold anchored to the FASTEST sample: steal inflates wall, so
+        # a per-sample `0.05 * t` bound self-defeats on exactly the samples
+        # it should reject (an 87 cpu-sec-steal sample passed it once)
+        clean = [t for t, s in zip(ts, st) if s < 0.05 * min(ts) * ncpu]
         timings[name] = round(statistics.median(clean if len(clean) >= 2 else ts), 3)
 
     bench("pt_pipeline", lambda: pt_pipeline(spark, corpus_dir))

@@ -363,29 +363,49 @@ def idempotent_parquet_sink(out_dir: str, metrics_path: str | None = None):
         if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
             return  # replayed batch — already durable
         out = df.withColumn("part_id", F.spark_partition_id())
+        obs = None
         if metrics_path:
-            # persist so the metrics agg reads the SAME materialized
-            # partitions the write saw (stable part_id) without re-reading
-            # the just-written files from disk or re-running the upstream
-            # stateful plan — one extra in-memory agg job, no second scan.
-            out = out.persist()
-        _sink_writer(out).parquet(batch_dir)
-        if metrics_path:
+            # totals ride the write job itself as observation metrics — no
+            # persist of the micro-batch, no second agg job, and the
+            # upstream stateful plan is never re-run.  (The previous design
+            # persisted every batch to feed a groupBy('part_id') agg; at the
+            # production design point that doubles the memory footprint of
+            # every micro-batch for a metrics side-channel.)
+            from pyspark.sql import Observation
+
+            obs = Observation(f"sink_batch_{batch_id}")
             tok = (
                 F.sum("n_tok") if "n_tok" in out.columns else F.lit(0)
             ).alias("tokens")
-            stats = out.groupBy("part_id").agg(
-                F.count("*").alias("rows"), tok
-            ).collect()
-            out.unpersist()
+            out = out.observe(obs, F.count(F.lit(1)).alias("rows"), tok)
+        _sink_writer(out).parquet(batch_dir)
+        if metrics_path:
+            got = obs.get
+            # per-partition rows from the just-written parquet footers —
+            # file part-NNNNN maps 1:1 to write-task partition NNNNN (the
+            # value spark_partition_id stamped into the rows).  Footer reads
+            # are driver-side metadata IO, a few KB per file.  Per-partition
+            # token sums, if ever needed, aggregate from the sink itself.
+            import pyarrow.parquet as pq
+
+            parts = []
+            for fname in sorted(os.listdir(batch_dir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(batch_dir, fname))
+                if md.num_rows == 0:
+                    continue
+                parts.append(
+                    {
+                        "part_id": int(fname.split("-")[1]),
+                        "rows": md.num_rows,
+                    }
+                )
             rec = {
                 "batch_id": batch_id,
-                "rows": int(sum(r["rows"] for r in stats)),
-                "tokens": int(sum(r["tokens"] or 0 for r in stats)),
-                "partitions": [
-                    {"part_id": r["part_id"], "rows": r["rows"], "tokens": int(r["tokens"] or 0)}
-                    for r in stats
-                ],
+                "rows": int(got["rows"] or 0),
+                "tokens": int(got["tokens"] or 0),
+                "partitions": parts,
             }
             os.makedirs(os.path.dirname(metrics_path), exist_ok=True)
             with open(metrics_path, "a") as f:

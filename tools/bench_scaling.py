@@ -85,7 +85,9 @@ def main():
                 # biased arbitrarily high, never low), so keep whatever
                 # clean subset exists and only fall back to the polluted
                 # samples when the whole session was inside a burst.
-                clean = [t for t, sv in zip(ts, st) if sv < 0.05 * t * ncpu]
+                # threshold anchored to the fastest sample — steal inflates
+                # wall, so a per-sample bound passes exactly the worst ones
+                clean = [t for t, sv in zip(ts, st) if sv < 0.05 * min(ts) * ncpu]
                 if clean:
                     dropped_stolen += len(ts) - len(clean)
                     ts = clean

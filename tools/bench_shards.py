@@ -119,7 +119,11 @@ def main():
             r = run_point(n, corpus_dir, reps)
             ts += r["times"][1:] if len(r["times"]) > 1 else r["times"]
             st += r["steals"][1:] if len(r["steals"]) > 1 else r["steals"]
-            clean = [t for t, s in zip(ts, st) if s < 0.05 * t * ncpu]
+            # threshold anchored to the FASTEST sample: steal inflates wall,
+            # so a per-sample `0.05 * t` threshold self-defeats on exactly
+            # the samples it should reject
+            thr = 0.05 * min(ts) * ncpu
+            clean = [t for t, s in zip(ts, st) if s < thr]
             if len(clean) >= 2:
                 break
             print(f"n_shards={n}: attempt {attempt} fully steal-polluted "
