@@ -2518,6 +2518,698 @@ def eval_perplexity_tokens(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 domain close-outs: agentic_rag QA token-F1, the pdf2vqa CPU family,
+# chemistry SMILES block scoring (operators/rag.py, pdf2vqa.py, chem.py +
+# _smiles.py)
+# ---------------------------------------------------------------------------
+
+from dataflow_spark.operators import chem as _chem  # noqa: E402
+from dataflow_spark.operators import pdf2vqa as _pv  # noqa: E402
+from dataflow_spark.operators import rag as _rag  # noqa: E402
+
+
+def _doc_words(col="text"):
+    return F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda x: x != "")
+
+
+_DW_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')"
+
+# normalize_answer as DuckDB SQL (same regex chain as rag.normalize_answer)
+_RAG_PUNCT_SQL = "[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+
+
+def _rag_norm_sql(x: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"lower({x}), '{_RAG_PUNCT_SQL}', '', 'g'), "
+        r"'\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+
+
+@q(
+    "rag_qa_f1",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN 'Yes.'
+             WHEN doc_id % 7 = 1 THEN 'no!' ELSE text END AS pred,
+        {_DW_SQL} AS words
+      FROM documents
+    ),
+    golds AS (
+      SELECT doc_id, pred,
+        CASE WHEN doc_id % 7 = 0 THEN 'yes'
+             WHEN doc_id % 7 = 1 THEN 'Yes'
+             ELSE array_to_string(list_slice(words, 1, greatest(len(words) - 2, 1)), ' ')
+        END AS g1,
+        array_to_string(list_slice(words, 2, len(words)), ' ') AS g2
+      FROM base
+    ),
+    pairs AS (
+      SELECT doc_id, 1 AS gid, pred, g1 AS gold FROM golds
+      UNION ALL
+      SELECT doc_id, 2 AS gid, pred, g2 AS gold FROM golds
+    ),
+    tok AS (
+      SELECT doc_id, gid,
+        {_rag_norm_sql('pred')} AS np, {_rag_norm_sql('gold')} AS ng,
+        list_filter(string_split({_rag_norm_sql('pred')}, ' '), x -> x <> '') AS pt,
+        list_filter(string_split({_rag_norm_sql('gold')}, ' '), x -> x <> '') AS gt
+      FROM pairs
+    ),
+    pt_c AS (SELECT doc_id, gid, t, count(*) AS c FROM tok, unnest(tok.pt) AS u(t) GROUP BY ALL),
+    gt_c AS (SELECT doc_id, gid, t, count(*) AS c FROM tok, unnest(tok.gt) AS u(t) GROUP BY ALL),
+    ns AS (
+      SELECT p.doc_id, p.gid, sum(least(p.c, g.c)) AS ns
+      FROM pt_c p JOIN gt_c g USING (doc_id, gid, t) GROUP BY ALL
+    ),
+    f1p AS (
+      SELECT tok.doc_id, tok.gid,
+        CASE
+          WHEN (np IN ('yes','no','noanswer') OR ng IN ('yes','no','noanswer')) AND np <> ng THEN 0.0
+          WHEN coalesce(ns.ns, 0) = 0 THEN 0.0
+          ELSE (2 * (ns.ns::DOUBLE / len(pt)) * (ns.ns::DOUBLE / len(gt)))
+               / ((ns.ns::DOUBLE / len(pt)) + (ns.ns::DOUBLE / len(gt)))
+        END AS f1
+      FROM tok LEFT JOIN ns USING (doc_id, gid)
+    )
+    SELECT doc_id, max(f1) AS f1 FROM f1p GROUP BY doc_id
+    """,
+)
+def rag_qa_f1(spark, sf_dir):
+    """AgenticRAGQAF1SampleEvaluator (agenticrag_qaf1_sample_evaluator.py:
+    56-118): normalized token-multiset F1, max over a 2-reference list, with
+    planted yes/no special-case rows (doc_id%7∈{0,1}).  Pure Catalyst; the
+    oracle recomputes the multiset intersection relationally."""
+    d = _docs(spark, sf_dir)
+    words = _doc_words()
+    mod = F.col("doc_id") % 7
+    pred = (
+        F.when(mod == 0, F.lit("Yes."))
+        .when(mod == 1, F.lit("no!"))
+        .otherwise(F.col("text"))
+    )
+    g1 = (
+        F.when(mod == 0, F.lit("yes"))
+        .when(mod == 1, F.lit("Yes"))
+        .otherwise(
+            F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))), " ")
+        )
+    )
+    g2 = F.array_join(F.slice(words, F.lit(2), F.size(words)), " ")
+    return d.select("doc_id", _rag.qa_f1(pred, F.array(g1, g2)).alias("f1"))
+
+
+def _pv_layout(spark, sf_dir):
+    """Synthetic MinerU content-list derived from documents: 20 multi-block
+    docs cycling text / text-list / figure-list / image / table rows."""
+    d = _docs(spark, sf_dir)
+    mod = F.col("doc_id") % 5
+    sid = F.col("doc_id").cast("string")
+    words3 = F.slice(_doc_words(), 1, 3)
+    return d.select(
+        F.concat(F.lit("doc"), (F.col("doc_id") % 20).cast("string")).alias("doc"),
+        F.col("doc_id").cast("int").alias("seq"),
+        F.when(mod == 3, F.lit("image"))
+        .when(mod == 4, F.lit("table"))
+        .when(mod == 0, F.lit("text"))
+        .otherwise(F.lit("list"))
+        .alias("type"),
+        F.when(mod == 1, F.lit("text"))
+        .when(mod == 2, F.lit("figure"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("sub_type"),
+        F.when(mod == 0, F.col("text")).otherwise(F.lit(None).cast("string")).alias("text"),
+        F.when(mod == 4, F.concat(F.lit("<table>"), sid, F.lit("</table>")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("table_body"),
+        F.when(mod == 3, F.concat(F.lit("imgs/p"), sid, F.lit(".png")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("img_path"),
+        F.when(mod == 3, F.array(F.lit("fig"), sid))
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("image_caption"),
+        F.when(mod.isin(1, 2), words3)
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("list_items"),
+    )
+
+
+_PV_LAY_SQL = rf"""
+    SELECT 'doc' || (doc_id % 20) AS doc, doc_id::INT AS seq,
+      CASE doc_id % 5 WHEN 3 THEN 'image' WHEN 4 THEN 'table'
+           WHEN 0 THEN 'text' ELSE 'list' END AS type,
+      CASE doc_id % 5 WHEN 1 THEN 'text' WHEN 2 THEN 'figure'
+           ELSE NULL END AS sub_type,
+      CASE WHEN doc_id % 5 = 0 THEN text END AS text,
+      CASE WHEN doc_id % 5 = 4 THEN '<table>' || doc_id || '</table>' END AS table_body,
+      CASE WHEN doc_id % 5 = 3 THEN 'imgs/p' || doc_id || '.png' END AS img_path,
+      CASE WHEN doc_id % 5 = 3 THEN ['fig', doc_id::VARCHAR] END AS image_caption,
+      CASE WHEN doc_id % 5 IN (1, 2)
+           THEN list_slice({_DW_SQL}, 1, 3) END AS list_items
+    FROM documents
+"""
+
+
+@q(
+    "pdf2vqa_flatten_layout",
+    f"""
+    WITH lay AS ({_PV_LAY_SQL}),
+    witharr AS (
+      SELECT doc, seq,
+        CASE
+          WHEN type = 'list' AND sub_type = 'text' THEN
+            list_transform(coalesce(list_items, []), li -> {{
+              'type': 'text', 'text': li, 'table_body': NULL::VARCHAR,
+              'img_path': NULL::VARCHAR, 'image_caption': NULL::VARCHAR[] }})
+          WHEN type = 'list' THEN NULL
+          ELSE [{{ 'type': type, 'text': text, 'table_body': table_body,
+                   'img_path': img_path, 'image_caption': image_caption }}]
+        END AS arr
+      FROM lay
+    ),
+    items AS (
+      SELECT doc, seq, i AS pos, arr[i + 1] AS item
+      FROM witharr, unnest(range(len(arr))) AS u(i)
+    )
+    SELECT doc,
+      (row_number() OVER (PARTITION BY doc ORDER BY seq, pos) - 1)::INT AS id,
+      item.type AS type, item.text AS text, item.table_body AS table_body,
+      item.img_path AS img_path, item.image_caption AS image_caption
+    FROM items
+    """,
+)
+def pdf2vqa_flatten_layout(spark, sf_dir):
+    """MinerU2LLMInputOperator (mineru_to_llm_input_operator.py:28-52):
+    text-lists explode, non-text lists vanish without advancing the id
+    counter, everything else passes through; per-doc consecutive ids."""
+    return _pv.flatten_layout(_pv_layout(spark, sf_dir))
+
+
+def _pv_resp_layout(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    items = F.array(
+        F.concat(F.lit("Title "), sid),
+        F.array_join(F.slice(_doc_words(), 1, 3), " "),
+        F.concat(F.lit("Body "), sid),
+    )
+    return d.select(
+        F.concat(F.lit("r"), sid).alias("doc"), F.posexplode(items).alias("id", "text")
+    ).select(
+        "doc",
+        F.col("id").cast("int").alias("id"),
+        F.lit("text").alias("type"),
+        "text",
+        F.lit(None).cast("string").alias("table_body"),
+        F.lit(None).cast("string").alias("img_path"),
+        F.lit(None).cast("array<string>").alias("image_caption"),
+    )
+
+
+@q(
+    "pdf2vqa_parse_responses",
+    rf"""
+    WITH base AS (
+      SELECT 'r' || doc_id AS doc,
+        'Title ' || doc_id AS t0,
+        array_to_string(list_slice({_DW_SQL}, 1, 3), ' ') AS t1,
+        'Body ' || doc_id AS t2,
+        (doc_id % 5)::VARCHAR AS lab, doc_id
+      FROM documents
+    )
+    SELECT doc, 0 AS seq, t0 AS chapter_title, lab AS label,
+      t1 || chr(10) || t2 AS question, 'A' || doc_id AS answer, '' AS solution
+    FROM base
+    UNION ALL
+    SELECT doc, 1, t0, 'x', t2, '', '' FROM base
+    """,
+)
+def pdf2vqa_parse_responses(spark, sf_dir):
+    """LLMOutputParser (llm_output_parser.py:71-104): tagged-response parse +
+    id→text resolution. The responses are GENERATED from a fixed template,
+    so the oracle constructs the expected parse closed-form — a real value
+    check of the parser without SQL-side regex parsing."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    resp = d.select(
+        F.concat(F.lit("r"), sid).alias("doc"),
+        F.concat(
+            F.lit("<chapter><title>0</title><qa_pair><question>1,2</question><answer>A"),
+            sid,
+            F.lit("</answer><label>"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(
+                "</label></qa_pair><qa_pair><question>2</question>"
+                "<label>x</label></qa_pair></chapter>"
+            ),
+        ).alias("response"),
+    )
+    return _pv.parse_vqa_responses(resp, _pv_resp_layout(spark, sf_dir))
+
+
+def _pv_merge_corpus(spark, sf_dir):
+    """Two interleaved row series per doc (questions + answer entries) whose
+    chapter titles are always present and whose labels restart at 1 on every
+    chapter change — the regime where the reference's sequential
+    carry-forward degenerates to a (refined_title, label) join, making the
+    merge SQL-oracle-able (the carry-forward/dynamic-update quirks are
+    pytest-checked)."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    r = F.expr("doc_id div 8")
+    doc = F.concat(F.lit("p"), (F.col("doc_id") % 8).cast("string"))
+    ch = F.expr("doc_id div 8 div 10") + 1
+    label = (r % 10 + 1).cast("string")
+    title = F.concat(F.lit("Ch "), ch.cast("string"))
+    q_rows = d.select(
+        doc.alias("doc"),
+        (F.col("doc_id") * 2).cast("int").alias("seq"),
+        title.alias("chapter_title"),
+        label.alias("label"),
+        F.concat(F.lit("Q-"), sid).alias("question"),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("IA-"), sid))
+        .otherwise(F.lit(""))
+        .alias("answer"),
+        F.lit("").alias("solution"),
+    )
+    a_rows = d.select(
+        doc.alias("doc"),
+        (F.col("doc_id") * 2 + 1).cast("int").alias("seq"),
+        title.alias("chapter_title"),
+        label.alias("label"),
+        F.lit("").alias("question"),
+        F.concat(F.lit("A-"), sid).alias("answer"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("S-"), sid))
+        .otherwise(F.lit(""))
+        .alias("solution"),
+    )
+    return q_rows.unionByName(a_rows)
+
+
+@q(
+    "pdf2vqa_merge_qa",
+    """
+    WITH rows_ AS (
+      SELECT doc_id, 'p' || (doc_id % 8) AS doc, (doc_id // 8) AS r FROM documents
+    ),
+    q_rows AS (
+      SELECT doc, doc_id, ((r // 10) + 1)::VARCHAR AS ch, (r % 10 + 1)::INT AS label,
+        'Q-' || doc_id AS question,
+        CASE WHEN doc_id % 4 = 0 THEN 'IA-' || doc_id ELSE '' END AS answer
+      FROM rows_
+    ),
+    a_rows AS (
+      SELECT doc, doc_id, 'A-' || doc_id AS answer,
+        CASE WHEN doc_id % 3 = 0 THEN 'S-' || doc_id ELSE '' END AS solution
+      FROM rows_
+    ),
+    completes AS (
+      SELECT doc, ch AS question_chapter_title, ch AS answer_chapter_title,
+        label, question, answer, '' AS solution,
+        (row_number() OVER (PARTITION BY doc ORDER BY doc_id) - 1)::INT AS out_seq
+      FROM q_rows WHERE answer <> ''
+    ),
+    ccount AS (SELECT doc, count(*) AS n FROM completes GROUP BY doc),
+    matched AS (
+      SELECT q.doc, q.ch AS question_chapter_title, q.ch AS answer_chapter_title,
+        q.label, q.question, a.answer, a.solution,
+        (coalesce(c.n, 0)
+         + row_number() OVER (PARTITION BY q.doc ORDER BY q.doc_id) - 1)::INT AS out_seq
+      FROM q_rows q
+      JOIN a_rows a ON a.doc = q.doc AND a.doc_id = q.doc_id
+      LEFT JOIN ccount c ON c.doc = q.doc
+      WHERE q.answer = ''
+    )
+    SELECT doc, out_seq, question_chapter_title, answer_chapter_title,
+           label, question, answer, solution
+    FROM completes
+    UNION ALL
+    SELECT doc, out_seq, question_chapter_title, answer_chapter_title,
+           label, question, answer, solution
+    FROM matched
+    """,
+)
+def pdf2vqa_merge_qa(spark, sf_dir):
+    """QA_Merger / merge_qa_pair (format_utils.py:21-124): complete-question
+    passthrough + (refined_title, label) matching, out_seq = the reference's
+    jsonl insertion order."""
+    return _pv.merge_qa_pairs(_pv_merge_corpus(spark, sf_dir))
+
+
+@q(
+    "pdf2vqa_vqa_format",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN ''
+             ELSE 'What about ![fig](img/' || doc_id || '.png) ' ||
+                  array_to_string(list_slice(list_filter(
+                    string_split_regex(trim(text), '\s+'), w -> w <> ''), 1, 5), ' ')
+        END AS question,
+        CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Answer ' || doc_id END AS answer,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'See ![s](s/' || doc_id || '.png)' || repeat(chr(10), 4) || 'finally'
+             ELSE '' END AS solution
+      FROM documents
+    ),
+    trimmed AS (
+      SELECT doc_id,
+        regexp_replace(question, '^\s+|\s+$', '', 'g') AS q,
+        regexp_replace(answer, '^\s+|\s+$', '', 'g') AS a,
+        regexp_replace(solution, '^\s+|\s+$', '', 'g') AS s
+      FROM base
+    ),
+    fmt AS (
+      SELECT doc_id, q, a,
+        list_concat(regexp_extract_all(q, '!\[.*?\]\((.*?)\)', 1),
+                    regexp_extract_all(s, '!\[.*?\]\((.*?)\)', 1)) AS images,
+        regexp_replace(regexp_replace(regexp_replace(
+          q, '!\[.*?\]\(.*?\)', '', 'g'), '\n{3,}', chr(10)||chr(10), 'g'),
+          '^\s+|\s+$', '', 'g') AS q_stripped,
+        regexp_replace(regexp_replace(regexp_replace(
+          s, '!\[.*?\]\(.*?\)', '', 'g'), '\n{3,}', chr(10)||chr(10), 'g'),
+          '^\s+|\s+$', '', 'g') AS sol_text
+      FROM trimmed
+    )
+    SELECT doc_id,
+      repeat('<image>', len(images)) || q_stripped AS user_content,
+      CASE WHEN a <> '' AND sol_text <> '' THEN a || chr(10) || chr(10) || sol_text
+           WHEN a <> '' THEN a ELSE sol_text END AS assistant_content,
+      images
+    FROM fmt
+    WHERE q <> ''
+      AND (CASE WHEN a <> '' AND sol_text <> '' THEN a || chr(10) || chr(10) || sol_text
+                WHEN a <> '' THEN a ELSE sol_text END) <> ''
+    """,
+)
+def pdf2vqa_vqa_format(spark, sf_dir):
+    """VQAFormatter (vqa_formatter.py:93-183): image extraction + tag strip,
+    placeholder prefixing, answer/solution combination, empty-row skips
+    (planted: doc_id%11 empty questions, doc_id%3∧%2 empty assistants)."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    first5 = F.array_join(F.slice(_doc_words(), 1, 5), " ")
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .otherwise(
+            F.concat(F.lit("What about ![fig](img/"), sid, F.lit(".png) "), first5)
+        )
+        .alias("question"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("Answer "), sid))
+        .alias("answer"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("See ![s](s/"), sid, F.lit(".png)\n\n\n\nfinally")),
+        )
+        .otherwise(F.lit(""))
+        .alias("solution"),
+    )
+    return _pv.vqa_format(corpus).select(
+        "doc_id", "user_content", "assistant_content", "images"
+    )
+
+
+# hand-derived SMILES equivalence facts (score column is chemistry, not code):
+# (golden, synthesized, equivalent?)
+_CHEM_PAIRS = (
+    ("CCO", "OCC", 1),              # ethanol, reversed atom order
+    ("CCO", "CCN", 0),              # ethanol vs ethylamine
+    ("c1ccccc1", "c1ccccc1", 1),    # benzene, identical
+    ("CC(C)(N)O", "CC(N)(C)O", 1),  # branch order permuted
+    ("C1CCCCC1", "C2CCCCC2", 1),    # ring-closure renumbering
+    ("C1CC1", "CCC", 0),            # cyclopropane vs propane
+    ("N#Cc1ccccc1", "c1ccccc1C#N", 1),  # benzonitrile, reversed walk
+    ("not_a_smiles", "CCO", 0),     # parse failure scores 0
+)
+
+_CHEM_SCORE_SQL = (
+    "CASE doc_id % 8 "
+    + " ".join(f"WHEN {i} THEN {p[2]}" for i, p in enumerate(_CHEM_PAIRS[:-1]))
+    + f" ELSE {_CHEM_PAIRS[-1][2]} END"
+)
+
+
+@q(
+    "chem_smiles_block_score",
+    f"""
+    SELECT doc_id,
+      ({_CHEM_SCORE_SQL})::INT AS block_score,
+      (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END)::INT AS block_total,
+      ({_CHEM_SCORE_SQL})::DOUBLE
+        / (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END) AS block_accuracy
+    FROM documents
+    """,
+)
+def chem_smiles_block_score(spark, sf_dir):
+    """SmilesEquivalenceDatasetEvaluator (smiles_equivalence_dataset_
+    evaluator.py:64-144) in canonical mode: abbreviation-matched golden vs
+    synthesized SMILES, equivalence via the from-scratch subset
+    canonicalizer. The oracle is the hand-derived chemistry of _CHEM_PAIRS
+    (plus a planted unmatched golden entry on doc_id%5==0 scoring 0) —
+    closed-form, independent of the engine's canonicalizer."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    idx = (F.col("doc_id") % 8 + 1).cast("int")
+    gold_smi = F.element_at(F.array(*[F.lit(p[0]) for p in _CHEM_PAIRS]), idx)
+    synth_smi = F.element_at(F.array(*[F.lit(p[1]) for p in _CHEM_PAIRS]), idx)
+    golden = F.array(
+        F.struct(
+            F.concat(F.lit("M"), sid).alias("abbreviation"),
+            F.lit("name").alias("full_name"),
+            gold_smi.alias("smiles"),
+        )
+    )
+    extra = F.struct(
+        F.concat(F.lit("X"), sid).alias("abbreviation"),
+        F.lit("extra").alias("full_name"),
+        F.lit("CCO").alias("smiles"),
+    )
+    golden = F.when(F.col("doc_id") % 5 == 0, F.concat(golden, F.array(extra))).otherwise(
+        golden
+    )
+    synth = F.array(
+        F.struct(
+            F.concat(F.lit("M"), sid).alias("abbreviation"),
+            F.lit("").alias("full_name"),
+            synth_smi.alias("smiles"),
+        )
+    )
+    corpus = d.select("doc_id", golden.alias("golden_label"), synth.alias("synth_smiles"))
+    scored = _chem.smiles_block_scores(corpus, mode="canonical")
+    return scored.select("doc_id", "block_score", "block_total", "block_accuracy")
+
+
+# --- reasoning dataset-level ops + QAExtractor (round-3 close-out) ----------
+
+
+@q(
+    "reasoning_pretrain_convert",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+        'Q: ' || array_to_string(list_slice({_DW_SQL}, 1, 5), ' ') AS q,
+        CASE WHEN doc_id % 9 = 0 THEN NULL ELSE 'A: ' || doc_id END AS a
+      FROM documents
+    )
+    SELECT coalesce(q, '') || chr(10) || coalesce(a, '') AS text FROM t
+    """,
+)
+def reasoning_pretrain_convert(spark, sf_dir):
+    """ReasoningPretrainFormatConvertGenerator (reasoning_pretrain_format_
+    convert_generator.py:13-38): SFT → PT concat with null coalescing; the
+    output is ONLY the text column, like the reference's fresh record list."""
+    d = _docs(spark, sf_dir)
+    corpus = d.select(
+        F.concat(F.lit("Q: "), F.array_join(F.slice(_doc_words(), 1, 5), " ")).alias(
+            "question"
+        ),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("A: "), F.col("doc_id").cast("string")))
+        .alias("answer"),
+    )
+    return _rsn.pretrain_format_convert(corpus)
+
+
+@q(
+    "reasoning_pipeline_root",
+    rf"""
+    WITH t AS ({_RSN_SQL_BASE}),
+    planted AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN '' ELSE golden_answer END AS golden_answer,
+        CASE WHEN doc_id % 3 = 0 AND doc_id % 13 = 0 THEN '' ELSE output END AS output
+      FROM t
+    ),
+    filled AS (
+      SELECT doc_id,
+        CASE
+          WHEN golden_answer <> '' THEN golden_answer
+          WHEN output = '' THEN NULL
+          WHEN contains(output, 'final answer is $') AND contains(output, '$. I hope')
+            THEN trim(split_part(split_part(output, 'final answer is $', 2), '$. I hope', 1))
+          WHEN contains(output, 'boxed')
+            THEN regexp_extract(output, 'boxed\{{([^{{}}]*)\}}', 1)
+          WHEN contains(output, 'he answer is')
+            THEN trim(list_extract(string_split(output, 'he answer is'), -1))
+          ELSE coalesce(list_extract(regexp_extract_all(replace(output, ',', ''), '-?\d*\.?\d+'), -1), '')
+        END AS golden_answer
+      FROM planted
+    )
+    SELECT doc_id,
+      CASE WHEN golden_answer IS NOT NULL AND golden_answer <> ''
+           THEN 'with_gt' ELSE 'without_gt' END AS branch,
+      CASE WHEN golden_answer IS NOT NULL AND golden_answer <> ''
+           THEN golden_answer END AS golden_answer
+    FROM filled
+    """,
+)
+def reasoning_pipeline_root(spark, sf_dir):
+    """ReasoningAnswerPipelineRootFilter (reasoning_answer_pipeline_root_
+    filter.py:43-94): gt backfill from the model answer + branch split.
+    Planted: doc_id%3 rows lose their gt (backfilled by extraction);
+    doc_id%3∧%13 rows also lose the answer (land in the no-gt branch)."""
+    base = _rsn_docs(spark, sf_dir)
+    planted = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(F.col("golden_answer")).alias(
+            "golden_answer"
+        ),
+        F.when((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 13 == 0), F.lit(""))
+        .otherwise(F.col("output"))
+        .alias("output"),
+    )
+    with_gt, without_gt = _rsn.answer_pipeline_root(planted)
+    return with_gt.select(
+        "doc_id", F.lit("with_gt").alias("branch"), "golden_answer"
+    ).unionByName(
+        without_gt.select("doc_id", F.lit("without_gt").alias("branch"), "golden_answer")
+    )
+
+
+@q(
+    "reasoning_difficulty_stats",
+    """
+    WITH t AS (
+      SELECT CASE doc_id % 4 WHEN 0 THEN 'easy' WHEN 1 THEN 'medium'
+                  WHEN 2 THEN 'hard' ELSE NULL END AS difficulty
+      FROM documents
+    )
+    SELECT difficulty, count(*) AS count FROM t
+    WHERE difficulty IS NOT NULL GROUP BY difficulty
+    """,
+)
+def reasoning_difficulty_stats(spark, sf_dir):
+    """ReasoningDifficultyDatasetEvaluator (reasoning_difficulty_dataset_
+    evaluator.py:41-60): value_counts of the difficulty label (NaN dropped,
+    matching pandas)."""
+    d = _docs(spark, sf_dir)
+    diff = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("easy"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("medium"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("hard"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return _rsn.difficulty_stats(d.select(diff.alias("difficulty_score")))
+
+
+@q(
+    "reasoning_category_stats",
+    """
+    WITH t AS (
+      SELECT source AS primary_category,
+        'bucket' || (doc_id % 3) AS secondary_category
+      FROM documents
+    ),
+    pairs AS (
+      SELECT primary_category, secondary_category, count(*) AS secondary_num
+      FROM t GROUP BY ALL
+    )
+    SELECT primary_category, secondary_category, secondary_num,
+      sum(secondary_num) OVER (PARTITION BY primary_category) AS primary_num
+    FROM pairs
+    """,
+)
+def reasoning_category_stats(spark, sf_dir):
+    """ReasoningCategoryDatasetEvaluator — documented intent (the shipped
+    operator crashes: uninitialized category_list + list-indexed-by-string
+    accumulator, reasoning_category_dataset_evaluator.py:47-65); one row per
+    (primary, secondary) with pair count and primary total."""
+    d = _docs(spark, sf_dir)
+    corpus = d.select(
+        F.col("source").alias("primary_category"),
+        F.concat(F.lit("bucket"), (F.col("doc_id") % 3).cast("string")).alias(
+            "secondary_category"
+        ),
+    )
+    return _rsn.category_stats(corpus)
+
+
+@q(
+    "kbc_qa_extract",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_DW_SQL} AS words FROM documents
+    ),
+    qa AS (
+      SELECT doc_id, [
+        {{ 'question': 'What is ' || coalesce(words[1], '') || '?',
+           'answer': '  ' || coalesce(words[2], '') || '  ' }},
+        {{ 'question': CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'Why ' || doc_id || '?' END,
+           'answer': 'Because ' || doc_id }},
+        {{ 'question': 'Trailing?', 'answer': CASE WHEN doc_id % 5 = 0 THEN '   ' ELSE 'ok' END }}
+      ] AS pairs
+      FROM t
+    ),
+    ex AS (SELECT doc_id, unnest(pairs) AS p FROM qa),
+    s AS (
+      SELECT regexp_replace(p.question, '^\s+|\s+$', '', 'g') AS q,
+             regexp_replace(p.answer, '^\s+|\s+$', '', 'g') AS a
+      FROM ex
+    )
+    SELECT 'Please answer the following question based on the provided information.'
+             AS instruction,
+           q AS input, a AS output
+    FROM s WHERE q <> '' AND a <> ''
+    """,
+)
+def kbc_qa_extract(spark, sf_dir):
+    """QAExtractor (qa_extract.py:86-134): explode QA_pairs, strip both
+    sides, drop empty questions/answers (planted: doc_id%4 empty questions,
+    doc_id%5 whitespace-only answers), emit Alpaca rows."""
+    d = _docs(spark, sf_dir)
+    w = _doc_words()
+    sid = F.col("doc_id").cast("string")
+    pairs = F.array(
+        F.struct(
+            F.concat(
+                F.lit("What is "), F.coalesce(F.element_at(w, 1), F.lit("")), F.lit("?")
+            ).alias("question"),
+            F.concat(F.lit("  "), F.coalesce(F.element_at(w, 2), F.lit("")), F.lit("  ")).alias(
+                "answer"
+            ),
+        ),
+        F.struct(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("Why "), sid, F.lit("?")))
+            .alias("question"),
+            F.concat(F.lit("Because "), sid).alias("answer"),
+        ),
+        F.struct(
+            F.lit("Trailing?").alias("question"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("   ")).otherwise(F.lit("ok")).alias(
+                "answer"
+            ),
+        ),
+    )
+    from dataflow_spark.operators import chunking as _chk
+
+    return _chk.qa_extract_alpaca(d.select(pairs.alias("QA_pairs")))
+
+
+# ---------------------------------------------------------------------------
 # registration order (VERDICT r2 item #3): the round driver value-checks the
 # FIRST 50 registered queries only — put the highest-signal entries (composed
 # reference pipelines, code/reasoning families, media value-checks, IVF

@@ -331,3 +331,67 @@ def kbc_chunk_stage(
         )
 
     return Stage("KBCChunkGenerator", fn, (input_key,), ("chunk_idx",), "generate")
+
+
+# ---------------------------------------------------------------------------
+# QAExtractor (knowledge_cleaning/generate/qa_extract.py:86-134,169-239):
+# nested QA_pairs → Alpaca instruction/input/output rows
+# ---------------------------------------------------------------------------
+
+_DEFAULT_QA_INSTRUCTION = (
+    "Please answer the following question based on the provided information."
+)
+
+
+def qa_extract_alpaca(
+    df: DataFrame,
+    qa_col: str = "QA_pairs",
+    instruction: str = _DEFAULT_QA_INSTRUCTION,
+    instruction_key: str = "instruction",
+    question_key: str = "input",
+    answer_key: str = "output",
+) -> DataFrame:
+    """Explode ``QA_pairs`` (array of {question, answer} structs), strip both
+    sides, drop pairs with an empty question or answer, and emit Stanford
+    Alpaca rows with a constant instruction (qa_extract.py:86-134; the
+    context-building block is commented out in the reference and the
+    ``{'qa_pairs': [...]}`` dict wrapper / chunk-file loading are storage
+    glue). Pure Catalyst: one generate, no shuffle."""
+    qa = F.coalesce(
+        F.col(qa_col), F.array().cast("array<struct<question:string,answer:string>>")
+    )
+    ex = df.select(F.explode(qa).alias("_qa"))
+    q = F.regexp_replace(F.col("_qa.question"), r"^\s+|\s+$", "")
+    a = F.regexp_replace(F.col("_qa.answer"), r"^\s+|\s+$", "")
+    return (
+        ex.where(q.isNotNull() & (q != "") & a.isNotNull() & (a != ""))
+        .select(
+            F.lit(instruction).alias(instruction_key),
+            q.alias(question_key),
+            a.alias(answer_key),
+        )
+    )
+
+
+@register("QAExtractor")
+def qa_extract_stage(
+    input_qa_key: str = "QA_pairs",
+    output_instruction_key: str = "instruction",
+    output_question_key: str = "input",
+    output_answer_key: str = "output",
+    input_instruction: str = _DEFAULT_QA_INSTRUCTION,
+) -> Stage:
+    return Stage(
+        name="QAExtractor",
+        fn=lambda df: qa_extract_alpaca(
+            df,
+            input_qa_key,
+            input_instruction,
+            output_instruction_key,
+            output_question_key,
+            output_answer_key,
+        ),
+        input_cols=(input_qa_key,),
+        output_cols=(output_instruction_key, output_question_key, output_answer_key),
+        kind="generate",
+    )

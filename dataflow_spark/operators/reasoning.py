@@ -311,3 +311,133 @@ def answer_ngram_filter(
         return df.where(keep_answer_ngram(input_answer_key, min_score, max_score, ngrams))
 
     return Stage("ReasoningAnswerNgramFilter", fn, (input_answer_key,), (), "filter")
+
+
+# ---------------------------------------------------------------------------
+# dataset-level reasoning ops (round-3 close-out)
+# ---------------------------------------------------------------------------
+
+
+def pretrain_format_convert(
+    df: DataFrame,
+    question_col: str = "question",
+    answer_col: str = "answer",
+    output_key: str = "text",
+) -> DataFrame:
+    """ReasoningPretrainFormatConvertGenerator
+    (reasoning_pretrain_format_convert_generator.py:13-38): SFT → PT format,
+    ``text = question + '\\n' + answer`` with nulls as ''. The reference
+    emits ONLY the text column (it writes a fresh record list) — reproduced."""
+    q = F.coalesce(_c(question_col).cast("string"), F.lit(""))
+    a = F.coalesce(_c(answer_col).cast("string"), F.lit(""))
+    return df.select(F.concat(q, F.lit("\n"), a).alias(output_key))
+
+
+def answer_pipeline_root(
+    df: DataFrame, answer_key: str = "output", gt_key: str = "golden_answer"
+) -> tuple[DataFrame, DataFrame]:
+    """ReasoningAnswerPipelineRootFilter
+    (reasoning_answer_pipeline_root_filter.py:43-94): backfill a missing
+    ground truth by extracting it from the model answer
+    (``extract_answer(answer, None, True)``), then split into the with-gt and
+    without-gt branches (the reference writes two files; here two DataFrames
+    off one lazy plan). Empty/null answers leave gt null."""
+    gt = _c(gt_key)
+    ans = _c(answer_key)
+    backfilled = F.when(gt.isNotNull() & (gt != ""), gt).otherwise(
+        F.when(ans.isNull() | (ans == ""), F.lit(None).cast("string")).otherwise(
+            extract_answer_udf()(ans)
+        )
+    )
+    out = df.withColumn(gt_key, backfilled)
+    with_gt = out.where(F.col(gt_key).isNotNull() & (F.col(gt_key) != ""))
+    without_gt = out.where(F.col(gt_key).isNull() | (F.col(gt_key) == "")).withColumn(
+        gt_key, F.lit(None).cast("string")
+    )
+    return with_gt, without_gt
+
+
+def difficulty_stats(df: DataFrame, difficulty_col: str = "difficulty_score") -> DataFrame:
+    """ReasoningDifficultyDatasetEvaluator
+    (reasoning_difficulty_dataset_evaluator.py:41-60): per-difficulty sample
+    counts. pandas ``value_counts`` drops NaN — mirrored by the isNotNull
+    filter (the ``.get(key,'null')`` default is unreachable: the column
+    exists on every record once it exists in the frame)."""
+    d = _c(difficulty_col)
+    return (
+        df.where(d.isNotNull())
+        .groupBy(d.cast("string").alias("difficulty"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def category_stats(
+    df: DataFrame,
+    primary_col: str = "primary_category",
+    secondary_col: str = "secondary_category",
+) -> DataFrame:
+    """ReasoningCategoryDatasetEvaluator — the documented intent
+    (reasoning_category_dataset_evaluator.py:47-65): per-primary sample
+    counts plus the secondary-category breakdown. The shipped reference
+    cannot complete as written — ``self.category_list`` is never initialized
+    (AttributeError) and the accumulator is a LIST indexed by category
+    string (``output = []; output[primary] = js`` → TypeError) — so this
+    implements the get_desc contract: one row per (primary, secondary) with
+    the pair count and the primary total."""
+    from pyspark.sql.window import Window
+
+    out = df.groupBy(
+        _c(primary_col).alias("primary_category"),
+        _c(secondary_col).alias("secondary_category"),
+    ).agg(F.count(F.lit(1)).alias("secondary_num"))
+    w = Window.partitionBy("primary_category")
+    return out.select(
+        "primary_category",
+        "secondary_category",
+        "secondary_num",
+        F.sum("secondary_num").over(w).alias("primary_num"),
+    )
+
+
+@register("ReasoningPretrainFormatConvertGenerator")
+def pretrain_convert_stage(
+    input_read_key_question: str = "question",
+    input_read_key_answer: str = "answer",
+    output_key: str = "text",
+) -> Stage:
+    return Stage(
+        name="ReasoningPretrainFormatConvertGenerator",
+        fn=lambda df: pretrain_format_convert(
+            df, input_read_key_question, input_read_key_answer, output_key
+        ),
+        input_cols=(input_read_key_question, input_read_key_answer),
+        output_cols=(output_key,),
+        kind="generate",
+    )
+
+
+@register("ReasoningDifficultyDatasetEvaluator")
+def difficulty_stats_stage(input_diffulty_key: str = "difficulty_score") -> Stage:
+    return Stage(
+        name="ReasoningDifficultyDatasetEvaluator",
+        fn=lambda df: difficulty_stats(df, input_diffulty_key),
+        input_cols=(input_diffulty_key,),
+        output_cols=("difficulty", "count"),
+        kind="eval",
+    )
+
+
+@register("ReasoningCategoryDatasetEvaluator")
+def category_stats_stage(
+    input_primary_category_key: str = "primary_category",
+    input_secondary_category_key: str = "secondary_category",
+) -> Stage:
+    return Stage(
+        name="ReasoningCategoryDatasetEvaluator",
+        fn=lambda df: category_stats(
+            df, input_primary_category_key, input_secondary_category_key
+        ),
+        input_cols=(input_primary_category_key, input_secondary_category_key),
+        output_cols=("primary_category", "secondary_category", "secondary_num", "primary_num"),
+        kind="eval",
+    )

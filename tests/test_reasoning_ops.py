@@ -148,3 +148,86 @@ def test_clean_units_matches_reference_semantics():
     assert R._clean_units("42 widgets") == "42 widgets"
     # skip_unit bypass: strip_string keeps the unit text
     assert R._strip_string("15 kg", skip_unit=True) == "15 kg"
+
+
+# ---------------------------------------------------------------------------
+# round-3 dataset-level ops
+# ---------------------------------------------------------------------------
+
+
+def test_pretrain_format_convert(spark):
+    from dataflow_spark.operators import reasoning as rsn
+
+    df = spark.createDataFrame(
+        [("q1", "a1"), (None, "a2"), ("q3", None)], "question string, answer string"
+    )
+    got = sorted(r.text for r in rsn.pretrain_format_convert(df).collect())
+    assert got == ["\na2", "q1\na1", "q3\n"]
+    assert rsn.pretrain_format_convert(df).columns == ["text"]
+
+
+def test_answer_pipeline_root_branches(spark):
+    from dataflow_spark.operators import reasoning as rsn
+
+    df = spark.createDataFrame(
+        [
+            (1, "kept-gt", "The answer is 99"),          # gt present → kept verbatim
+            (2, "", "Thus \\boxed{42} done"),            # backfilled from answer
+            (3, None, "the answer is 7"),                 # null gt → backfilled
+            (4, "", ""),                                  # no gt, no answer → without_gt
+            (5, "", None),                                # null answer → without_gt
+        ],
+        "id long, golden_answer string, output string",
+    )
+    with_gt, without_gt = rsn.answer_pipeline_root(df)
+    w = {r.id: r.golden_answer for r in with_gt.collect()}
+    assert w == {1: "kept-gt", 2: "42", 3: "7"}
+    wo = without_gt.collect()
+    assert sorted(r.id for r in wo) == [4, 5]
+    assert all(r.golden_answer is None for r in wo)
+
+
+def test_difficulty_and_category_stats(spark):
+    from dataflow_spark.operators import reasoning as rsn
+
+    df = spark.createDataFrame(
+        [("easy",), ("easy",), ("hard",), (None,)], "difficulty_score string"
+    )
+    got = {r.difficulty: r["count"] for r in rsn.difficulty_stats(df).collect()}
+    assert got == {"easy": 2, "hard": 1}  # NaN dropped like value_counts
+
+    cat = spark.createDataFrame(
+        [("math", "algebra"), ("math", "algebra"), ("math", "geometry"), ("code", "py")],
+        "primary_category string, secondary_category string",
+    )
+    rows = {
+        (r.primary_category, r.secondary_category): (r.secondary_num, r.primary_num)
+        for r in rsn.category_stats(cat).collect()
+    }
+    assert rows == {
+        ("math", "algebra"): (2, 3),
+        ("math", "geometry"): (1, 3),
+        ("code", "py"): (1, 1),
+    }
+
+
+def test_qa_extract_alpaca(spark):
+    from dataflow_spark.core.stage import get_operator
+    from dataflow_spark.operators.chunking import qa_extract_alpaca
+
+    df = spark.createDataFrame(
+        [
+            ([{"question": " q1 ", "answer": "a1"},
+              {"question": "", "answer": "a2"},
+              {"question": "q3", "answer": "  "},
+              {"question": None, "answer": "a4"}],),
+            (None,),
+        ],
+        "QA_pairs array<struct<question:string,answer:string>>",
+    )
+    rows = qa_extract_alpaca(df).collect()
+    assert len(rows) == 1
+    assert rows[0].input == "q1" and rows[0].output == "a1"
+    assert rows[0].instruction.startswith("Please answer")
+    st = get_operator("QAExtractor")
+    assert st(df).count() == 1
