@@ -25,9 +25,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # SPARK_GRAFT_MASTER overrides the master verbatim — used by
+    # tools/bench_executors.py to run the engine on local-cluster[N,c,mem]
+    # (real separate executor JVMs, each with its own shuffle/state/Python
+    # workers): the honest single-box stand-in for the north rule's
+    # "N and 4N executors" criterion.  Executors are separate processes, so
+    # they need the repo on their workers' PYTHONPATH (on a real cluster:
+    # spark-submit --py-files dist/dataflow_spark.zip, see tests/test_submit).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
@@ -55,6 +63,16 @@ def get_spark(
         # Broadcast joins up to 64 MiB — dimension tables / blocklists.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local-cluster"):
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config(
+                "spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEM", "5g")
+            )
+            # driver no longer hosts the tasks — shrink it back down
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
