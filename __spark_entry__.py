@@ -3278,11 +3278,12 @@ _PRIORITY = (
     # chunking round-3 additions (value-hashed semantic walk + recursive ladder)
     "kbc_chunk_semantic",
     "kbc_chunk_recursive",
-    # representative rule-filter + refiner coverage (the full families are
-    # value-checked by tools/check_oracles.py outside the driver's window)
-    "filter_stop_word",
-    "filter_language_en",
-    "refine_text_normalization",
+    # round-3 domain close-outs (agentic_rag / pdf2vqa / chemistry) — the
+    # rule-filter/refiner families these replaced stay value-checked by
+    # tools/check_oracles.py outside the driver's window
+    "rag_qa_f1",
+    "pdf2vqa_parse_responses",
+    "chem_smiles_block_score",
 )
 
 assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50
