@@ -1638,6 +1638,210 @@ def text2sql_executability(spark, sf_dir):
         g, setup_sql="CREATE TABLE t (v INTEGER)"
     ).select("doc_id")
 
+
+def _sqlite_fixture_root(sf_dir: str) -> str:
+    """Deterministic per-sf sqlite database pool for SQLExecutionFilter:
+    nation.sqlite + region.sqlite built from the test parquet tables
+    (DatabaseManager's '<root>/<db_id>.sqlite' layout).  Built once under
+    /tmp, atomically (temp dir + rename)."""
+    import sqlite3
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/dataflow_sqlite_dbs_v2_{os.path.basename(sf_dir.rstrip('/'))}"
+    if os.path.exists(os.path.join(root, "_READY")):
+        return root
+    tmp = tempfile.mkdtemp(dir="/tmp")
+    specs = (
+        ("nation", "nation",
+         ["n_nationkey INTEGER", "n_name TEXT", "n_regionkey INTEGER"]),
+        ("region", "region", ["r_regionkey INTEGER", "r_name TEXT"]),
+    )
+    for db_id, table, col_defs in specs:
+        cols = [cd.split()[0] for cd in col_defs]
+        rows = pq.read_table(
+            os.path.join(sf_dir, f"{table}.parquet"), columns=cols
+        ).to_pylist()
+        con = sqlite3.connect(os.path.join(tmp, f"{db_id}.sqlite"))
+        con.execute(f"CREATE TABLE {table} ({', '.join(col_defs)})")
+        con.executemany(
+            f"INSERT INTO {table} VALUES ({','.join('?' * len(cols))})",
+            [tuple(r[c] for c in cols) for r in rows],
+        )
+        con.commit()
+        con.close()
+    open(os.path.join(tmp, "_READY"), "w").close()
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        pass  # concurrent builder won the race; its copy is identical
+    return root
+
+
+@q(
+    "text2sql_execution_filter",
+    """
+    WITH g AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'nation' WHEN 1 THEN 'region'
+             ELSE 'missing_db' END AS db_id
+      FROM documents
+    )
+    SELECT doc_id, db_id FROM g
+    WHERE doc_id % 5 IN (0, 1) AND doc_id % 3 IN (0, 1)
+    """,
+)
+def text2sql_execution_filter(spark, sf_dir):
+    """SQLExecutionFilter (sql_execution_filter.py:37-96): phase-1
+    SELECT/WITH gate then REAL per-db_id sqlite execution (read-only pooled
+    connections inside mapInPandas).  Statements are generated from a
+    5-shape template — valid SELECT behind a block comment, valid WITH-CTE,
+    bad-column runtime failure, INSERT (phase-1 drop), multi-statement
+    injection (sqlite refuses) — across 3 db_ids (two real, one missing), so
+    the DuckDB oracle predicts survivorship closed-form while Spark earns it
+    through the actual execution machinery: survivors are exactly the
+    valid-SQL shapes against the existing databases."""
+    from dataflow_spark.operators.text2sql import sql_execution_filter
+
+    db_root = _sqlite_fixture_root(sf_dir)
+    d = _docs(spark, sf_dir)
+    db_id = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("nation"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("region"))
+        .otherwise(F.lit("missing_db"))
+    )
+    tbl = F.when(F.col("doc_id") % 3 == 1, F.lit("region")).otherwise(F.lit("nation"))
+    k = F.pmod(F.col("doc_id"), F.lit(5))
+    stmt = (
+        F.when(k == 0, F.concat(F.lit("/* probe "), F.col("doc_id").cast("string"),
+                                F.lit(" */ SELECT count(*) FROM "), tbl))
+        .when(k == 1, F.concat(F.lit("WITH c AS (SELECT count(*) AS n FROM "),
+                               tbl, F.lit(") SELECT n FROM c")))
+        .when(k == 2, F.concat(F.lit("SELECT definitely_missing_col FROM "), tbl))
+        .when(k == 3, F.concat(F.lit("INSERT INTO "), tbl, F.lit(" VALUES (1)")))
+        .otherwise(F.concat(F.lit("SELECT 1; DROP TABLE "), tbl))
+    )
+    g = d.select("doc_id", db_id.alias("db_id"), stmt.alias("sql"))
+    return sql_execution_filter(g, db_root).select("doc_id", "db_id")
+
+
+@q("text2sql_prompt_gen")
+def text2sql_prompt_gen(spark, sf_dir):
+    """Text2SQLPromptGenerator (text2sql_prompt_generator.py:58-116): real
+    sqlite M-Schema introspection per distinct db_id (driver-side, db pool is
+    small by construction) + broadcast join + pure-Catalyst template concat.
+    Exercises both databases and the evidence / no-evidence branches.
+    Rows-only at the gate (the prompt embeds live-introspected schema text);
+    byte-exact parity against a hand-written expected prompt is pinned in
+    tests/test_text2sql.py."""
+    from dataflow_spark.operators.text2sql import text2sql_prompt
+
+    db_root = _sqlite_fixture_root(sf_dir)
+    d = _docs(spark, sf_dir)
+    g = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("nation"))
+        .otherwise(F.lit("region")).alias("db_id"),
+        F.concat(F.lit("How many rows for doc "), F.col("doc_id").cast("string"),
+                 F.lit("?")).alias("question"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hint: count them")).otherwise(
+            F.lit("")
+        ).alias("evidence"),
+    )
+    return text2sql_prompt(g, db_root).select("doc_id", "db_id", "prompt")
+
+
+_T2S_PIPE_SQL_CASE = """
+      CASE doc_id % 5
+        WHEN 0 THEN '/* probe ' || doc_id::VARCHAR || ' */ SELECT count(*) FROM ' || tbl
+        WHEN 1 THEN 'WITH c AS (SELECT count(*) AS n FROM ' || tbl || ') SELECT n FROM c'
+        WHEN 2 THEN 'SELECT definitely_missing_col FROM ' || tbl
+        WHEN 3 THEN 'INSERT INTO ' || tbl || ' VALUES (1)'
+        ELSE 'SELECT 1; DROP TABLE ' || tbl
+      END
+"""
+
+
+@q(
+    "pipeline_text2sql_reference",
+    rf"""
+    WITH g AS (
+      SELECT doc_id,
+        CASE doc_id % 2 WHEN 0 THEN 'nation' ELSE 'region' END AS db_id,
+        CASE doc_id % 2 WHEN 0 THEN 'nation' ELSE 'region' END AS tbl
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, db_id, {_T2S_PIPE_SQL_CASE} AS sql FROM g
+      WHERE doc_id % 5 IN (0, 1)
+    )
+    SELECT doc_id, db_id,
+      len(regexp_extract_all(sql, '(?i)\bjoin\b'))::INT AS n_joins,
+      len(regexp_extract_all(sql, '(?i)\b(count|sum|avg|min|max)\s*\('))::INT AS n_aggs,
+      CASE
+        WHEN len(regexp_extract_all(sql, '(?i)\bjoin\b'))
+           + len(regexp_extract_all(sql, '(?i)\bwhere\b'))
+           + len(regexp_extract_all(sql, '(?i)\bgroup\s+by\b'))
+           + len(regexp_extract_all(sql, '(?i)\border\s+by\b'))
+           + len(regexp_extract_all(sql, '(?i)\b(count|sum|avg|min|max)\s*\('))
+           + len(regexp_extract_all(sql, '(?i)\(\s*select\b')) < 2 THEN 'easy'
+        WHEN len(regexp_extract_all(sql, '(?i)\bjoin\b'))
+           + len(regexp_extract_all(sql, '(?i)\bwhere\b'))
+           + len(regexp_extract_all(sql, '(?i)\bgroup\s+by\b'))
+           + len(regexp_extract_all(sql, '(?i)\border\s+by\b'))
+           + len(regexp_extract_all(sql, '(?i)\b(count|sum|avg|min|max)\s*\('))
+           + len(regexp_extract_all(sql, '(?i)\(\s*select\b')) < 4 THEN 'medium'
+        ELSE 'hard'
+      END AS sql_difficulty
+    FROM s
+    """,
+)
+def pipeline_text2sql_reference(spark, sf_dir):
+    """The reference's Text2SQL CPU pipeline end to end
+    (statics/pipelines/cpu_pipelines/text2sql_pipeline.py):
+    Text2SQLPromptGenerator -> SQLExecutionFilter -> SQLComponentClassifier,
+    each stage the real engine implementation (live sqlite introspection,
+    live per-db execution), composed over a 5-shape statement template whose
+    survivorship + component counts the DuckDB oracle predicts closed-form.
+    The prompt column rides the whole pipeline but is excluded from the
+    value-hash (rows-only via its own gate; byte-parity in pytest)."""
+    from dataflow_spark.operators.text2sql import (
+        sql_execution_filter,
+        text2sql_prompt,
+    )
+    from dataflow_spark.operators.text2sql import _COMPONENTS, sql_difficulty
+
+    db_root = _sqlite_fixture_root(sf_dir)
+    d = _docs(spark, sf_dir)
+    db_id = F.when(F.col("doc_id") % 2 == 0, F.lit("nation")).otherwise(
+        F.lit("region")
+    )
+    tbl = db_id
+    k = F.pmod(F.col("doc_id"), F.lit(5))
+    stmt = (
+        F.when(k == 0, F.concat(F.lit("/* probe "), F.col("doc_id").cast("string"),
+                                F.lit(" */ SELECT count(*) FROM "), tbl))
+        .when(k == 1, F.concat(F.lit("WITH c AS (SELECT count(*) AS n FROM "),
+                               tbl, F.lit(") SELECT n FROM c")))
+        .when(k == 2, F.concat(F.lit("SELECT definitely_missing_col FROM "), tbl))
+        .when(k == 3, F.concat(F.lit("INSERT INTO "), tbl, F.lit(" VALUES (1)")))
+        .otherwise(F.concat(F.lit("SELECT 1; DROP TABLE "), tbl))
+    )
+    g = d.select(
+        "doc_id", db_id.alias("db_id"), stmt.alias("sql"),
+        F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias("question"),
+    )
+    step1 = text2sql_prompt(g, db_root)
+    step2 = sql_execution_filter(step1, db_root)
+    step3 = step2.select(
+        "doc_id", "db_id",
+        F.regexp_count(F.col("sql"), F.lit(_COMPONENTS["n_joins"])).cast("int").alias("n_joins"),
+        F.regexp_count(F.col("sql"), F.lit(_COMPONENTS["n_aggs"])).cast("int").alias("n_aggs"),
+        sql_difficulty("sql").alias("sql_difficulty"),
+    )
+    return step3
+
 # registered last: _pipeline_text_pt_oracle needs _BLOCK_SQL/_BULLETS_SQL
 # from the extended-coverage section above
 _QUERIES["pipeline_text_pt_reference"] = pipeline_text_pt_reference
@@ -3145,6 +3349,61 @@ def reasoning_category_stats(spark, sf_dir):
         ),
     )
     return _rsn.category_stats(corpus)
+
+
+@q(
+    "reasoning_token_stats",
+    rf"""
+    WITH lens AS (
+      SELECT
+        len(regexp_extract_all(text, '{_ev.BPE_SPLIT_RE.replace("'", "''")}'))::BIGINT AS q,
+        len(regexp_extract_all(
+          CASE WHEN doc_id % 7 = 0 THEN '' ELSE substr(text, 1, 40) END,
+          '{_ev.BPE_SPLIT_RE.replace("'", "''")}'))::BIGINT AS a
+      FROM documents
+    ),
+    stats AS (
+      SELECT
+        count(*) FILTER (WHERE q = 0) AS questions_zeros_count,
+        count(*) FILTER (WHERE a = 0) AS answers_zeros_count,
+        min(q) AS questions_min, max(q) AS questions_max,
+        (sum(q)::DOUBLE / count(*)::DOUBLE) AS questions_mean,
+        min(a) AS answers_min, max(a) AS answers_max,
+        (sum(a)::DOUBLE / count(*)::DOUBLE) AS answers_mean,
+        count(*) AS n
+      FROM lens
+    ),
+    qm AS (
+      SELECT q AS questions_median
+      FROM (SELECT q, row_number() OVER (ORDER BY q) AS rn FROM lens) t, stats
+      WHERE t.rn = stats.n // 2 + 1
+    ),
+    am AS (
+      SELECT a AS answers_median
+      FROM (SELECT a, row_number() OVER (ORDER BY a) AS rn FROM lens) t, stats
+      WHERE t.rn = stats.n // 2 + 1
+    )
+    SELECT questions_zeros_count, answers_zeros_count,
+           questions_min, questions_max, questions_mean, questions_median,
+           answers_min, answers_max, answers_mean, answers_median
+    FROM stats, qm, am
+    """,
+)
+def reasoning_token_stats(spark, sf_dir):
+    """ReasoningTokenDatasetEvaluator (reasoning_token_dataset_evaluator.py:
+    48-96): one-row dataset token-length stats (zeros/min/max/mean and the
+    reference's sorted[n//2] median) for question+answer columns, computed
+    from the token-length histogram in one pass (reasoning.token_stats).
+    Question = text; answer plants empty strings (doc_id%7==0) so the
+    zero-count path is exercised.  The mean is exact-integer-sum / count on
+    both engines so the double stringifies identically."""
+    d = _docs(spark, sf_dir).select(
+        F.col("text").alias("question"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+            F.substring("text", 1, 40)
+        ).alias("answer"),
+    )
+    return _rsn.token_stats(d, "question", "answer")
 
 
 @q(

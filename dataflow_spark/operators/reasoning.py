@@ -399,6 +399,104 @@ def category_stats(
     )
 
 
+def token_stats(
+    df: DataFrame,
+    question_col: str = "instruction",
+    answer_col: str = "output",
+    token_len=None,
+) -> DataFrame:
+    """ReasoningTokenDatasetEvaluator
+    (reasoning_token_dataset_evaluator.py:48-96): dataset-level token-length
+    stats for question and answer columns — zero count, min, max, mean, and
+    the reference's ``sorted(xs)[n//2]`` median — as ONE output row.
+
+    ``token_len`` is a Column-builder (col -> token count); default is the
+    engine's BPE-ish GPT-2 pre-tokenizer proxy
+    (evaluators.token_count_bpe) standing in for the reference's
+    ``AutoTokenizer.encode`` length (model download — external non-goal).
+    Missing/null values count as '' (0 tokens), matching the reference's
+    ``sample.get(key, '') or ''``.
+
+    Shape at scale: ONE pass over the data.  Every statistic — including the
+    exact ``sorted(xs)[n//2]`` median, an order statistic — derives from the
+    token-length HISTOGRAM, whose size is bounded by the max token count, not
+    the corpus size: melt (q,a) lengths to (which, len) pairs, one
+    groupBy(which, len) with map-side partial aggregation (the only shuffle,
+    and it moves histogram-sized data), then zeros/min/max/mean/median all
+    read off the tiny histogram (median = first length whose cumulative
+    count reaches rank ``n//2 + 1``).  No full sort, no collect; the
+    single-partition window runs over the histogram only.
+
+    Empty input returns zero rows (the reference's all-zero dict is a
+    degenerate guard for an empty dataframe its pipelines never produce)."""
+    from pyspark.sql.window import Window
+
+    from dataflow_spark.operators.evaluators import token_count_bpe
+
+    tl = token_len or token_count_bpe
+    zlen = lambda c: F.coalesce(tl(F.coalesce(_c(c), F.lit(""))), F.lit(0))  # noqa: E731
+    pairs = df.select(
+        F.explode(
+            F.create_map(
+                F.lit("q"), zlen(question_col).cast("long"),
+                F.lit("a"), zlen(answer_col).cast("long"),
+            )
+        ).alias("which", "v")
+    )
+    hist = pairs.groupBy("which", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("which").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("which")
+    cum = hist.select(
+        "which", "v", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    per = cum.groupBy("which").agg(
+        F.sum(F.when(F.col("v") == 0, F.col("c")).otherwise(0)).alias("zeros"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        (F.sum(F.col("v") * F.col("c")) / F.first("n")).alias("vmean"),
+        F.min(
+            F.when(F.col("cum") >= F.floor(F.col("n") / 2) + 1, F.col("v"))
+        ).alias("vmedian"),
+    )
+    qrow = per.where(F.col("which") == "q")
+    arow = per.where(F.col("which") == "a")
+    out = F.broadcast(
+        qrow.select(
+            F.col("zeros").alias("questions_zeros_count"),
+            F.col("vmin").alias("questions_min"),
+            F.col("vmax").alias("questions_max"),
+            F.col("vmean").alias("questions_mean"),
+            F.col("vmedian").alias("questions_median"),
+        )
+    ).crossJoin(
+        F.broadcast(
+            arow.select(
+                F.col("zeros").alias("answers_zeros_count"),
+                F.col("vmin").alias("answers_min"),
+                F.col("vmax").alias("answers_max"),
+                F.col("vmean").alias("answers_mean"),
+                F.col("vmedian").alias("answers_median"),
+            )
+        )
+    )
+    return out.select(
+        "questions_zeros_count",
+        "answers_zeros_count",
+        "questions_min",
+        "questions_max",
+        "questions_mean",
+        "questions_median",
+        "answers_min",
+        "answers_max",
+        "answers_mean",
+        "answers_median",
+    )
+
+
 @register("ReasoningPretrainFormatConvertGenerator")
 def pretrain_convert_stage(
     input_read_key_question: str = "question",
@@ -439,5 +537,24 @@ def category_stats_stage(
         ),
         input_cols=(input_primary_category_key, input_secondary_category_key),
         output_cols=("primary_category", "secondary_category", "secondary_num", "primary_num"),
+        kind="eval",
+    )
+
+
+@register("ReasoningTokenDatasetEvaluator")
+def token_stats_stage(
+    input_question_key: str = "instruction",
+    input_answer_key: str = "output",
+) -> Stage:
+    return Stage(
+        name="ReasoningTokenDatasetEvaluator",
+        fn=lambda df: token_stats(df, input_question_key, input_answer_key),
+        input_cols=(input_question_key, input_answer_key),
+        output_cols=(
+            "questions_zeros_count", "answers_zeros_count",
+            "questions_min", "questions_max", "questions_mean",
+            "questions_median",
+            "answers_min", "answers_max", "answers_mean", "answers_median",
+        ),
         kind="eval",
     )

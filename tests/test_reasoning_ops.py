@@ -231,3 +231,70 @@ def test_qa_extract_alpaca(spark):
     assert rows[0].instruction.startswith("Please answer")
     st = get_operator("QAExtractor")
     assert st(df).count() == 1
+
+
+def test_token_stats_reference_parity(spark):
+    """ReasoningTokenDatasetEvaluator: replay the reference's get_token_info
+    (reasoning_token_dataset_evaluator.py:48-96) in plain Python with the
+    same tokenizer proxy and require identical stats, including the
+    sorted[n//2] median convention and ''-for-missing handling."""
+    import re
+
+    from dataflow_spark.operators.evaluators import BPE_SPLIT_RE
+    from dataflow_spark.operators.reasoning import token_stats
+
+    samples = [
+        {"q": "What is 2+2? It's simple.", "a": "The answer is 4."},
+        {"q": "", "a": "yes"},
+        {"q": "Second question, longer than the first one by far", "a": ""},
+        {"q": None, "a": "don't stop"},
+        {"q": "short", "a": None},
+        {"q": "a b c d e", "a": "x"},
+        {"q": "one more row here", "a": "and its answer text goes on a bit"},
+    ]
+
+    def tok_len(s):
+        return len(re.findall(BPE_SPLIT_RE, s or ""))
+
+    q_lens = [tok_len(s["q"]) for s in samples]
+    a_lens = [tok_len(s["a"]) for s in samples]
+    expected = {
+        "questions_zeros_count": q_lens.count(0),
+        "answers_zeros_count": a_lens.count(0),
+        "questions_min": min(q_lens),
+        "questions_max": max(q_lens),
+        "questions_mean": sum(q_lens) / len(q_lens),
+        "questions_median": sorted(q_lens)[len(q_lens) // 2],
+        "answers_min": min(a_lens),
+        "answers_max": max(a_lens),
+        "answers_mean": sum(a_lens) / len(a_lens),
+        "answers_median": sorted(a_lens)[len(a_lens) // 2],
+    }
+    df = spark.createDataFrame(
+        [(s["q"], s["a"]) for s in samples], "q string, a string"
+    )
+    rows = token_stats(df, "q", "a").collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    assert got == expected
+
+
+def test_token_stats_even_count_median(spark):
+    # even n: reference median is the UPPER middle element sorted[n//2]
+    from dataflow_spark.operators.reasoning import token_stats
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a b", "x"), ("a b c", "x"), ("a b c d", "x")],
+        "q string, a string",
+    )
+    row = token_stats(df, "q", "a").collect()[0]
+    assert row.questions_median == 3  # sorted [1,2,3,4][2]
+    assert row.questions_mean == 2.5
+
+
+def test_token_stats_stage(spark):
+    from dataflow_spark.core.stage import get_operator
+
+    df = spark.createDataFrame([("hi there", "yo")], "instruction string, output string")
+    out = get_operator("ReasoningTokenDatasetEvaluator")(df)
+    assert out.count() == 1

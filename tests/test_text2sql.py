@@ -70,3 +70,200 @@ def test_difficulty_expression_matches_stage(spark):
         for r in get_operator("SQLComponentClassifier").apply(df).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SQLExecutionFilter (multi-database sqlite execution)
+# ---------------------------------------------------------------------------
+
+
+def _make_dbs(tmp_path):
+    import sqlite3
+
+    root = tmp_path / "dbs"
+    root.mkdir()
+    con = sqlite3.connect(root / "school.sqlite")
+    con.execute("CREATE TABLE student (id INTEGER, name TEXT)")
+    con.executemany("INSERT INTO student VALUES (?, ?)", [(1, "a"), (2, "b")])
+    con.commit()
+    con.close()
+    # Spider-style nested layout for the second db
+    (root / "shop").mkdir()
+    con = sqlite3.connect(root / "shop" / "shop.sqlite")
+    con.execute("CREATE TABLE item (sku TEXT, price REAL)")
+    con.execute("INSERT INTO item VALUES ('x', 1.5)")
+    con.commit()
+    con.close()
+    return str(root)
+
+
+EXEC_ROWS = [
+    # (id, db_id, sql, expect_kept) — expectation mirrors the reference flow:
+    # phase-1 SELECT/WITH gate, then real execution success.
+    ("flat_ok", "school", "SELECT count(*) FROM student", True),
+    ("nested_ok", "shop", "SELECT sku FROM item WHERE price > 1", True),
+    ("cte_ok", "school", "WITH c AS (SELECT id FROM student) SELECT * FROM c", True),
+    ("comment_ok", "school", "/* hi */ -- lead\nSELECT id FROM student", True),
+    ("bad_col", "school", "SELECT nope FROM student", False),
+    ("bad_table", "shop", "SELECT * FROM student", False),
+    ("syntax", "school", "SELEC 1", False),
+    ("insert", "school", "INSERT INTO student VALUES (3, 'c')", False),
+    ("multi", "school", "SELECT 1; DROP TABLE student", False),
+    ("missing_db", "nowhere", "SELECT 1", False),
+    ("write_attempt", "shop", "DELETE FROM item", False),
+]
+
+
+def test_sql_execution_filter(spark, tmp_path):
+    from dataflow_spark.operators.text2sql import sql_execution_filter
+
+    root = _make_dbs(tmp_path)
+    df = spark.createDataFrame(
+        [(i, d, s) for i, d, s, _ in EXEC_ROWS], ["id", "db_id", "sql"]
+    )
+    kept = {r.id for r in sql_execution_filter(df, root, "sql", "db_id").collect()}
+    assert kept == {i for i, _, _, k in EXEC_ROWS if k}
+
+
+def test_sql_execution_readonly_and_state(spark, tmp_path):
+    # The injection row must not mutate the db for later rows in the same
+    # partition, and the file on disk stays untouched (read-only connections).
+    import sqlite3
+
+    from dataflow_spark.operators.text2sql import sql_execution_filter
+
+    root = _make_dbs(tmp_path)
+    rows = [
+        ("inj", "school", "SELECT 1; DELETE FROM student"),
+        ("after", "school", "SELECT count(*) FROM student"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "db_id", "sql"]).coalesce(1)
+    kept = {r.id for r in sql_execution_filter(df, root, "sql", "db_id").collect()}
+    assert kept == {"after"}
+    con = sqlite3.connect(f"{root}/school.sqlite")
+    assert con.execute("SELECT count(*) FROM student").fetchone()[0] == 2
+    con.close()
+
+
+def test_sql_execution_oracle_parity(spark, tmp_path):
+    """Independent oracle: replay the reference's two-phase flow (comment
+    strip + SELECT/WITH prefix, then direct sqlite execution) in plain Python
+    and require identical survivors on a generated corpus."""
+    import re
+    import sqlite3
+
+    from dataflow_spark.operators.text2sql import sql_execution_filter
+
+    root = _make_dbs(tmp_path)
+    corpus = []
+    shapes = [
+        "SELECT count(*) FROM student",
+        "WITH c AS (SELECT id FROM student) SELECT count(*) FROM c",
+        "SELECT missing FROM student",
+        "UPDATE student SET name = 'z'",
+        "SELECT id FROM student; SELECT 1",
+        "-- only a comment",
+    ]
+    for i in range(60):
+        corpus.append((f"r{i}", ["school", "shop", "ghost"][i % 3], shapes[i % 6]))
+
+    def ref_keep(db_id, sql):
+        s = re.sub(r"/\*.*?\*/", "", sql, flags=re.DOTALL)
+        s = re.sub(r"--.*", "", s).strip()
+        if not (s.lower().startswith("select") or s.lower().startswith("with")):
+            return False
+        for cand in (f"{root}/{db_id}.sqlite", f"{root}/{db_id}/{db_id}.sqlite"):
+            import os
+
+            if os.path.exists(cand):
+                con = sqlite3.connect(f"file:{cand}?mode=ro", uri=True)
+                try:
+                    con.execute(sql).fetchall()
+                    return True
+                except Exception:
+                    return False
+                finally:
+                    con.close()
+        return False
+
+    expected = {i for i, d, s in corpus if ref_keep(d, s)}
+    df = spark.createDataFrame(corpus, ["id", "db_id", "sql"])
+    kept = {r.id for r in sql_execution_filter(df, root, "sql", "db_id").collect()}
+    assert kept == expected
+    assert expected  # the corpus must actually keep something
+
+
+# ---------------------------------------------------------------------------
+# Text2SQLPromptGenerator (M-Schema introspection + template)
+# ---------------------------------------------------------------------------
+
+
+def test_text2sql_prompt_byte_parity(spark, tmp_path):
+    """Hand-written expected prompt (no shared code with the engine): pins
+    the M-Schema rendering — header glyphs, field lines, Primary Key flag,
+    example truncation, email suppression, foreign-key lines — and the full
+    task template with and without evidence."""
+    import sqlite3
+
+    from dataflow_spark.operators.text2sql import _PROMPT_TEMPLATE, text2sql_prompt
+
+    root = tmp_path / "dbs"
+    root.mkdir()
+    con = sqlite3.connect(root / "petdb.sqlite")
+    con.executescript(
+        """
+        CREATE TABLE pets (id INTEGER PRIMARY KEY, name TEXT);
+        INSERT INTO pets VALUES (1, 'alpha'), (2, 'beta');
+        CREATE TABLE toys (tid INTEGER, owner INTEGER REFERENCES pets(id),
+                           contact TEXT);
+        INSERT INTO toys VALUES (7, 1, 'a@b.com');
+        """
+    )
+    con.commit()
+    con.close()
+
+    expected_details = (
+        "【DB_ID】 petdb\n"
+        "【Schema】\n"
+        "# Table: pets\n"
+        "[\n"
+        "(id:INTEGER, Primary Key, Examples: [1, 2]),\n"
+        "(name:TEXT, Examples: [alpha, beta])\n"
+        "]\n"
+        "# Table: toys\n"
+        "[\n"
+        "(tid:INTEGER, Examples: [7]),\n"
+        "(owner:INTEGER, Examples: [1]),\n"
+        "(contact:TEXT)\n"  # email examples suppressed
+        "]\n"
+        "【Foreign keys】\n"
+        "toys.owner=pets.id"
+    )
+    rows = [
+        ("r1", "petdb", "How many pets?", ""),
+        ("r2", "petdb", "Which toys?", "toys belong to pets"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "db_id", "question", "evidence"])
+    out = {r.id: r.prompt for r in text2sql_prompt(df, str(root)).collect()}
+    exp1 = _PROMPT_TEMPLATE.replace("{db_engine}", "sqlite").replace(
+        "{db_details}", expected_details
+    ).replace("{question_and_evidence}", "How many pets?")
+    exp2 = _PROMPT_TEMPLATE.replace("{db_engine}", "sqlite").replace(
+        "{db_details}", expected_details
+    ).replace(
+        "{question_and_evidence}", "toys belong to pets\nWhich toys?"
+    )
+    assert out["r1"] == exp1
+    assert out["r2"] == exp2
+
+
+def test_text2sql_prompt_missing_db_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from dataflow_spark.operators.text2sql import text2sql_prompt
+
+    root = tmp_path / "empty"
+    root.mkdir()
+    df = spark.createDataFrame([("a", "ghost", "q?")], ["id", "db_id", "question"])
+    with _pytest.raises(ValueError, match="ghost"):
+        text2sql_prompt(df, str(root))
