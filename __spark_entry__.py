@@ -3481,6 +3481,7 @@ _PRIORITY = (
     "pipeline_text_pt_reference",
     "pipeline_code_pt_reference",
     "pipeline_reasoning_reference",
+    "pipeline_text2sql_reference",
     "pipeline_pt_filter",
     # dedup family (incl. the north-rule tokens payload)
     "dedup_exact_md5",
@@ -3516,7 +3517,6 @@ _PRIORITY = (
     "eval_ngram_uniqueness",
     "eval_langid",
     "eval_token_count",
-    "eval_doc_fingerprint",
     "eval_quality_score",
     "eval_bench_accuracy_langid",
     # refiners with full-dictionary parity

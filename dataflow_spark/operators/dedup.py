@@ -187,14 +187,63 @@ def _cc_min_numpy(a: "np.ndarray", b: "np.ndarray") -> tuple:
         lbl = new
 
 
-# Above this many candidate edges the min-label solve stays distributed;
-# below it (the overwhelmingly common case after LSH bucketing — star edges
-# are ~dup_count, not pair_count) the edge list is pulled to the driver and
-# solved in one vectorized numpy pass.  Same design as Spark's own broadcast
-# threshold: a driver round-trip beats O(rounds) shuffle jobs whose fixed
-# cost (checkpoint + convergence count per round) is serial and does not
-# parallelize — that fixed cost is what held 8->32-core scaling at 0.56.
+# Below this many candidate edges the min-label solve is pulled to the
+# driver and solved in one vectorized numpy pass; above it, it stays
+# distributed.  (After LSH bucketing, star edges are ~dup_count, not
+# pair_count, so the local case is overwhelmingly common.)  Same design as
+# Spark's own broadcast threshold: a driver round-trip beats O(rounds)
+# shuffle jobs whose fixed cost (checkpoint + convergence count per round)
+# is serial and does not parallelize — that fixed cost is what held
+# 8->32-core scaling at 0.56 in round 2, and what bounded minhash at the
+# r1600 executor sweep (8.3M edges crossed the old fixed 4M cutoff).
+# This constant is the FLOOR; the effective crossover scales with the
+# driver's heap via cc_local_edge_threshold().
 CC_LOCAL_EDGE_THRESHOLD = 4_000_000
+
+
+def _parse_mem_bytes(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)  # plain bytes (spark also reads suffix-less as MiB in
+    # some confs, but driver.memory is always suffixed in this engine)
+
+
+def cc_local_edge_threshold(spark) -> int:
+    """Topology- and memory-aware local/distributed CC crossover,
+    overridable via ``DATAFLOW_CC_LOCAL_EDGES``.
+
+    * **Single-JVM local mode** (``local[N]``): ``clamp(driver_heap // 256,
+      4M, 32M)`` edges.  Collect is an in-process Arrow copy (~16 B/edge on
+      the JVM, ~64 B/edge numpy scratch in Python; heap//256 keeps the JVM
+      transient under 1/16 of heap) and the loser-array "broadcast" never
+      crosses a process boundary — here the driver solve measurably beats
+      O(rounds) shuffle jobs with their per-round checkpoint+count barrier
+      (round-2 ledger: 8->32-core efficiency 0.56 -> 1.16 at r400).
+    * **Multi-executor topologies** (local-cluster / standalone / yarn /
+      k8s): stay at the 4M floor.  Measured back-to-back at r1600
+      (8,339,450 edges, local-cluster[8,4], same ambient window): local
+      solve 95.9-121.8 s vs distributed 72.2-118.1 s — pulling the edge
+      set across executor RPC and shipping the ~3.2M-long loser array to
+      every Python worker costs what the round fixed costs would have, so
+      scaling the cutoff up buys nothing and risks the driver.  Above the
+      floor the rounds are data-heavy enough to amortize their fixed cost
+      (BASELINE.md §3b-supplement)."""
+    override = os.environ.get("DATAFLOW_CC_LOCAL_EDGES")
+    if override:
+        return int(override)
+    try:
+        master = spark.conf.get("spark.master", "")
+    except Exception:
+        master = ""
+    if not (master.startswith("local[") or master == "local"):
+        return CC_LOCAL_EDGE_THRESHOLD
+    try:
+        heap = _parse_mem_bytes(spark.conf.get("spark.driver.memory", "4g"))
+    except Exception:
+        heap = 4 << 30
+    return max(CC_LOCAL_EDGE_THRESHOLD, min(32_000_000, heap // 256))
 
 # per-worker byte budget for the minhash signature intermediate (see
 # minhash_band_udf); overridable for cache-topology tuning
@@ -203,7 +252,7 @@ SIG_CHUNK_BYTES = int(os.environ.get("DATAFLOW_SIG_CHUNK_BYTES", str(512 * 1024)
 
 def connected_components_min(
     edges: DataFrame, max_iter: int = 20,
-    local_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
+    local_threshold: int | None = None,
     _materialized: bool = False,
 ) -> DataFrame:
     """Edges (a:long, b:long) -> (node:long, component:long) where component
@@ -224,6 +273,8 @@ def connected_components_min(
     # (MinHash UDF, band explode, bucket join) re-executes per round
     if not _materialized:
         edges = edges.localCheckpoint(eager=True)
+    if local_threshold is None:
+        local_threshold = cc_local_edge_threshold(edges.sparkSession)
     if edges.count() <= local_threshold:
         pdf = edges.select(
             F.col("a").cast("long"), F.col("b").cast("long")
@@ -310,15 +361,17 @@ def keep_cluster_min(
     already returned a materialized edge set (minhash_candidate_edges)."""
     if not edges_materialized:
         edges = edges.localCheckpoint(eager=True)
-    if edges.count() <= CC_LOCAL_EDGE_THRESHOLD:
+    if edges.count() <= cc_local_edge_threshold(df.sparkSession):
         # local CC: solve on the driver and ship ONLY the loser ids back as
         # a sorted array inside a vectorized-searchsorted pandas UDF.  This
         # replaces a broadcast anti-join whose BroadcastExchange converts
         # the 2M-row loser relation to a hash table on the DRIVER (serial,
         # measured ~6s at r400) with a fully parallel binary-search probe
         # (~0.9s warm): the array ships once per worker in the task
-        # closure (TorrentBroadcast), <= threshold longs = 32 MB worst
-        # case.  This serial driver time is the Amdahl term of the whole
+        # closure (TorrentBroadcast); losers <= duplicate-node count, and
+        # the adaptive threshold bounds the worst case at 32M longs
+        # (256 MB) on a large driver, 4M (32 MB) at the floor.
+        # This serial driver time is the Amdahl term of the whole
         # minhash job (BENCH_scaling.json).  Requires non-null seq ids —
         # the engine assigns them (monotonically_increasing_id / source
         # doc_seq).

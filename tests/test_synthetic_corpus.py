@@ -61,3 +61,28 @@ def test_minhash_catches_planted_near_dups(spark):
     # exact dups (~5%) collide on every band; near-dups (~5%, 10% edits) on
     # most bands; repetition docs collapse too — expect a healthy drop count
     assert dropped > 0.04 * 1500
+
+
+def test_driver_priority_window():
+    """The round driver value-checks only the FIRST 50 registered queries —
+    pin that the window stays exactly 50 and carries the high-signal entries
+    (composed reference pipelines, tokens-payload dedup, media value checks)."""
+    import __spark_entry__ as m
+
+    names = list(m.queries())
+    window = names[:50]
+    assert len(set(window)) == 50
+    for must in (
+        "pipeline_text_pt_reference",
+        "pipeline_code_pt_reference",
+        "pipeline_reasoning_reference",
+        "pipeline_text2sql_reference",
+        "dedup_minhash_tokens",
+        "media_image_features_ppm",
+        "ann_ivf_fullprobe_top5",
+    ):
+        assert must in window, must
+    oracles = m.oracle_sql()
+    # every window entry except documented rows-only ops has a value oracle
+    rows_only = {n for n in window if n not in oracles}
+    assert rows_only <= {"text2sql_prompt_gen"}, rows_only
