@@ -194,56 +194,38 @@ def _cc_min_numpy(a: "np.ndarray", b: "np.ndarray") -> tuple:
 # Spark's own broadcast threshold: a driver round-trip beats O(rounds)
 # shuffle jobs whose fixed cost (checkpoint + convergence count per round)
 # is serial and does not parallelize — that fixed cost is what held
-# 8->32-core scaling at 0.56 in round 2, and what bounded minhash at the
-# r1600 executor sweep (8.3M edges crossed the old fixed 4M cutoff).
-# This constant is the FLOOR; the effective crossover scales with the
-# driver's heap via cc_local_edge_threshold().
+# 8->32-core scaling at 0.56 in round 2.  The cutoff's VALUE is measured in
+# both directions — see cc_local_edge_threshold() for the r1600 A/B that
+# keeps it at 4M (heap-scaled variants lose above it on every topology).
 CC_LOCAL_EDGE_THRESHOLD = 4_000_000
 
 
-def _parse_mem_bytes(s: str) -> int:
-    s = s.strip().lower()
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    if s and s[-1] in mult:
-        return int(float(s[:-1]) * mult[s[-1]])
-    return int(s)  # plain bytes (spark also reads suffix-less as MiB in
-    # some confs, but driver.memory is always suffixed in this engine)
-
-
 def cc_local_edge_threshold(spark) -> int:
-    """Topology- and memory-aware local/distributed CC crossover,
-    overridable via ``DATAFLOW_CC_LOCAL_EDGES``.
+    """Local/distributed CC crossover: the 4M floor, overridable via
+    ``DATAFLOW_CC_LOCAL_EDGES``.
 
-    * **Single-JVM local mode** (``local[N]``): ``clamp(driver_heap // 256,
-      4M, 32M)`` edges.  Collect is an in-process Arrow copy (~16 B/edge on
-      the JVM, ~64 B/edge numpy scratch in Python; heap//256 keeps the JVM
-      transient under 1/16 of heap) and the loser-array "broadcast" never
-      crosses a process boundary — here the driver solve measurably beats
-      O(rounds) shuffle jobs with their per-round checkpoint+count barrier
-      (round-2 ledger: 8->32-core efficiency 0.56 -> 1.16 at r400).
-    * **Multi-executor topologies** (local-cluster / standalone / yarn /
-      k8s): stay at the 4M floor.  Measured back-to-back at r1600
-      (8,339,450 edges, local-cluster[8,4], same ambient window): local
-      solve 95.9-121.8 s vs distributed 72.2-118.1 s — pulling the edge
-      set across executor RPC and shipping the ~3.2M-long loser array to
-      every Python worker costs what the round fixed costs would have, so
-      scaling the cutoff up buys nothing and risks the driver.  Above the
-      floor the rounds are data-heavy enough to amortize their fixed cost
-      (BASELINE.md §3b-supplement)."""
+    The 4M default is MEASURED, both directions, at r1600 (8,339,450
+    edges — 2.1x the cutoff):
+
+    * the driver-local solve WINS below it: the r400 edge set (2.08M) solves
+      in ~1 s and removed the per-round checkpoint+count serial barrier that
+      held 8->32-core efficiency at 0.56 (round-2 ledger);
+    * it LOSES above it, on BOTH topologies: at local-cluster[8,4] a
+      back-to-back A/B read local 95.9-121.8 s vs distributed 72.2-118.1 s
+      (edge collect over executor RPC + shipping the ~3.2M-long loser array
+      to every Python worker); at local[8]/local[32] a heap-scaled variant
+      improved the pinned 8-core leg (~173 -> ~120 s, the distributed
+      rounds are join-heavy at few cores) but DEGRADED the 32-core leg
+      (61 -> 78-98 s) — the single-threaded driver solve is a
+      core-count-independent Amdahl term that costs the fast leg exactly
+      what the well-parallelized rounds no longer do.
+
+    Raising the cutoff via the env knob is for single-leg batch jobs where
+    wall time at few cores matters more than scaling headroom."""
     override = os.environ.get("DATAFLOW_CC_LOCAL_EDGES")
     if override:
         return int(override)
-    try:
-        master = spark.conf.get("spark.master", "")
-    except Exception:
-        master = ""
-    if not (master.startswith("local[") or master == "local"):
-        return CC_LOCAL_EDGE_THRESHOLD
-    try:
-        heap = _parse_mem_bytes(spark.conf.get("spark.driver.memory", "4g"))
-    except Exception:
-        heap = 4 << 30
-    return max(CC_LOCAL_EDGE_THRESHOLD, min(32_000_000, heap // 256))
+    return CC_LOCAL_EDGE_THRESHOLD
 
 # per-worker byte budget for the minhash signature intermediate (see
 # minhash_band_udf); overridable for cache-topology tuning

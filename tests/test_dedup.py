@@ -276,20 +276,13 @@ def test_tokens_band_udf_parity_with_jvm_shingles(spark):
     assert got_new[998] is None and any(v is not None for v in got_new.values())
 
 
-def test_cc_local_threshold_adaptive(spark, monkeypatch):
+def test_cc_local_threshold(spark, monkeypatch):
     from dataflow_spark.operators.dedup import (
         CC_LOCAL_EDGE_THRESHOLD,
-        _parse_mem_bytes,
         cc_local_edge_threshold,
     )
 
-    assert _parse_mem_bytes("8g") == 8 << 30
-    assert _parse_mem_bytes("6144m") == 6144 << 20
-    assert _parse_mem_bytes("512k") == 512 << 10
-    assert _parse_mem_bytes("1024") == 1024
-
-    t = cc_local_edge_threshold(spark)
-    assert CC_LOCAL_EDGE_THRESHOLD <= t <= 32_000_000
-
+    # measured default: the 4M floor on every topology (see docstring)
+    assert cc_local_edge_threshold(spark) == CC_LOCAL_EDGE_THRESHOLD
     monkeypatch.setenv("DATAFLOW_CC_LOCAL_EDGES", "123456")
     assert cc_local_edge_threshold(spark) == 123456
