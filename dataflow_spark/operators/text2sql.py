@@ -186,9 +186,10 @@ def sql_execution(
     1/0 by whether its SQL EXECUTES against the row's ``db_id`` database.
     The reference fans a pandas frame over a thread pool with pooled sqlite
     connections; here the executor partition IS the parallel unit —
-    ``mapInPandas`` with a per-worker connection cache keyed by resolved db
+    ``mapInPandas`` with a per-task connection cache keyed by resolved db
     path, so a partition touching K databases opens K connections total, not
-    one per row.
+    one per row (read-only immutable sqlite opens are microseconds; task
+    scope avoids cross-task connection lifetime management).
 
     Scale/safety notes:
     * connections open read-only+immutable (URI mode) — the input SQL is
