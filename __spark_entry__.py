@@ -3352,6 +3352,67 @@ def reasoning_category_stats(spark, sf_dir):
 
 
 @q(
+    "reasoning_category_normalize",
+    """
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'Foundations and Logic'
+        WHEN 1 THEN 'Analysis and Differential Equations'
+        WHEN 2 THEN 'Geometry and Topology'
+        WHEN 3 THEN 'Arithmetic'
+        ELSE '' END AS primary_category,
+      CASE doc_id % 5
+        WHEN 0 THEN 'Basic Theory, Formalization, and History & Education'
+        WHEN 1 THEN 'Real Analysis, Measure Theory, and Functional Analysis'
+        WHEN 2 THEN 'Topology and Algebraic Topology'
+        WHEN 3 THEN 'Word Problems and Real-Life Applications'
+        ELSE '' END AS secondary_category,
+      CASE doc_id % 5
+        WHEN 0 THEN 1.0 WHEN 1 THEN 16.0 WHEN 2 THEN 26.0 WHEN 3 THEN 49.0
+        ELSE -1.0 END AS category_code
+    FROM documents
+    """,
+)
+def reasoning_category_normalize(spark, sf_dir):
+    """ReasoningQuestionCategorySampleEvaluator's CPU half
+    (utils/reasoning/CategoryFuzz.py:60-142): normalize raw LLM-ish category
+    labels onto the fixed math taxonomy — 'X.Y'/'X' numeric-code fast paths
+    plus WRatio fuzzy matching (from-scratch kernels, operators/_fuzz.py) —
+    then category_hasher's k*8+m code.  The 5-shape corpus exercises every
+    branch (secondary code, primary code, fuzzy exact-after-normalize,
+    fuzzy with punctuation/case noise, unmatched garbage) and the oracle
+    predicts all outputs closed-form."""
+    from dataflow_spark.operators.reasoning import category_hash, category_normalize
+
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), F.lit(5))
+    raw_p = (
+        F.when(k == 0, F.lit("ignored"))
+        .when(k == 1, F.lit("ignored"))
+        .when(k == 2, F.lit("4"))
+        .when(k == 3, F.lit("Arithmetic!!!"))
+        .otherwise(F.lit("zzz qqq"))
+    )
+    raw_s = (
+        F.when(k == 0, F.lit("1.2"))
+        .when(k == 1, F.lit("3.1."))
+        .when(k == 2, F.lit("topology and algebraic topology"))
+        .when(k == 3, F.lit("word problems and real-life applications"))
+        .otherwise(F.lit("zzz qqq"))
+    )
+    g = d.select(
+        "doc_id", raw_p.alias("primary_category"), raw_s.alias("secondary_category")
+    )
+    out = category_normalize(g)
+    return out.select(
+        "doc_id",
+        "primary_category",
+        "secondary_category",
+        category_hash("primary_category", "secondary_category").alias("category_code"),
+    )
+
+
+@q(
     "reasoning_token_stats",
     rf"""
     WITH lens AS (

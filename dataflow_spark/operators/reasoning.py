@@ -558,3 +558,133 @@ def token_stats_stage(
         ),
         kind="eval",
     )
+
+
+# ---------------------------------------------------------------------------
+# ReasoningQuestionCategorySampleEvaluator — the CPU normalization half
+# (utils/reasoning/CategoryFuzz.py; the LLM categorization call is the
+# non-goal half, its raw label output is this operator's input)
+# ---------------------------------------------------------------------------
+
+
+def _cf_normalize_text(s: str) -> str:
+    """CategoryFuzz.normalize_text (CategoryFuzz.py:60-65): lowercase, strip
+    digits/./-/_/()/[]/,&//, collapse whitespace."""
+    s = (s or "").lower()
+    s = re.sub(r"[0-9\.\-\_\(\)\[\],&/]", " ", s)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _normalize_categories_py(raw_primary: str, raw_secondary: str):
+    """CategoryFuzz.normalize_categories (CategoryFuzz.py:79-133):
+    1) 'X.Y' numeric code in the secondary label wins outright;
+    2) else 'X' numeric code in the primary label;
+    3) else WRatio fuzzy match of the primary (threshold 50);
+    4) secondary fuzzy-matched within the chosen primary's list
+       (threshold 50, '' when below).
+    Unmatched primary -> ('', '')."""
+    from dataflow_spark.operators import _fuzz
+    from dataflow_spark.operators._category_data import (
+        PRIMARY_CATEGORIES,
+        SECONDARY_CATEGORIES,
+    )
+
+    raw_primary = raw_primary or ""
+    raw_secondary = raw_secondary or ""
+    m = re.match(r"^\s*(\d+)\s*\.\s*(\d+)\s*\.?\s*$", raw_secondary)
+    if m:
+        pi, si = int(m.group(1)), int(m.group(2))
+        if 1 <= pi <= len(PRIMARY_CATEGORIES):
+            primary = PRIMARY_CATEGORIES[pi - 1]
+            secs = SECONDARY_CATEGORIES.get(primary, [])
+            if 1 <= si <= len(secs):
+                return primary, secs[si - 1]
+    m = re.match(r"^\s*(\d+)\s*\.?\s*$", raw_primary)
+    primary = None
+    if m:
+        pi = int(m.group(1))
+        if 1 <= pi <= len(PRIMARY_CATEGORIES):
+            primary = PRIMARY_CATEGORIES[pi - 1]
+    if primary is None:
+        best, score = _fuzz.extract_one(
+            _cf_normalize_text(raw_primary), tuple(PRIMARY_CATEGORIES)
+        )
+        primary = best if score >= 50 else None
+    if not primary:
+        return "", ""
+    secs = SECONDARY_CATEGORIES.get(primary, [])
+    best, score = _fuzz.extract_one(_cf_normalize_text(raw_secondary), tuple(secs))
+    return primary, (best if score >= 50 else "")
+
+
+def category_normalize(
+    df: DataFrame,
+    primary_col: str = "primary_category",
+    secondary_col: str = "secondary_category",
+    out_primary: str = "primary_category",
+    out_secondary: str = "secondary_category",
+) -> DataFrame:
+    """Normalize raw (LLM-emitted) category labels onto the reference's
+    fixed math taxonomy — numeric-code fast paths + WRatio fuzzy matching
+    (from-scratch kernels, operators/_fuzz.py).  One Arrow-batched pandas
+    UDF; the taxonomy is module data on every worker and the scorer result
+    is LRU-cached per distinct raw label, so the per-row cost is a dict hit
+    for the overwhelmingly-repetitive label streams this op sees."""
+    out_schema = T.StructType(
+        [
+            T.StructField("p", T.StringType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+
+    @pandas_udf(out_schema)
+    def norm(p: pd.Series, s: pd.Series) -> pd.DataFrame:
+        cache: dict[tuple, tuple] = {}
+        outp, outs = [], []
+        for a, b in zip(p, s):
+            key = (a, b)
+            if key not in cache:
+                cache[key] = _normalize_categories_py(a, b)
+            r = cache[key]
+            outp.append(r[0])
+            outs.append(r[1])
+        return pd.DataFrame({"p": outp, "s": outs})
+
+    tmp = norm(F.col(primary_col).cast("string"), F.col(secondary_col).cast("string"))
+    return (
+        df.withColumn("_cn", tmp)
+        .withColumn(out_primary, F.col("_cn.p"))
+        .withColumn(out_secondary, F.col("_cn.s"))
+        .drop("_cn")
+    )
+
+
+def category_hash(primary_col, secondary_col) -> Column:
+    """CategoryFuzz.category_hasher (CategoryFuzz.py:135-142): k*8+m over
+    taxonomy indices, -1.0 when unknown — pure Catalyst over the broadcast
+    taxonomy literals."""
+    from dataflow_spark.operators._category_data import (
+        PRIMARY_CATEGORIES,
+        SECONDARY_CATEGORIES,
+    )
+
+    p, s = _c(primary_col), _c(secondary_col)
+    expr = F.lit(-1.0)
+    for k, prim in enumerate(PRIMARY_CATEGORIES):
+        for m, sec in enumerate(SECONDARY_CATEGORIES[prim]):
+            expr = F.when((p == prim) & (s == sec), F.lit(float(k * 8 + m))).otherwise(expr)
+    return expr
+
+
+@register("ReasoningCategoryNormalizer")
+def category_normalize_stage(
+    input_primary_key: str = "primary_category",
+    input_secondary_key: str = "secondary_category",
+) -> Stage:
+    return Stage(
+        name="ReasoningCategoryNormalizer",
+        fn=lambda df: category_normalize(df, input_primary_key, input_secondary_key),
+        input_cols=(input_primary_key, input_secondary_key),
+        output_cols=(input_primary_key, input_secondary_key),
+        kind="eval",
+    )

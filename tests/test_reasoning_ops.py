@@ -298,3 +298,71 @@ def test_token_stats_stage(spark):
     df = spark.createDataFrame([("hi there", "yo")], "instruction string, output string")
     out = get_operator("ReasoningTokenDatasetEvaluator")(df)
     assert out.count() == 1
+
+
+def test_fuzz_kernels_hand_vectors():
+    """Hand-computed vectors for the from-scratch similarity kernels (the
+    published fuzzywuzzy/rapidfuzz algorithms; the libraries are absent, so
+    the expectations here are worked by hand from the definitions)."""
+    from dataflow_spark.operators import _fuzz as fz
+
+    # Indel ratio = 200*LCS/(m+n)
+    assert fz.ratio("abcd", "abcd") == 100.0
+    assert fz.ratio("", "") == 100.0
+    assert fz.ratio("abc", "") == 0.0
+    # LCS("abcd","abed") = "abd" (3) -> 200*3/8 = 75
+    assert fz.ratio("abcd", "abed") == 75.0
+    # partial: "bcd" inside "abcde" -> 100
+    assert fz.partial_ratio("bcd", "abcde") == 100.0
+    # token sort: order-insensitive
+    assert fz.token_sort_ratio("world hello", "hello world") == 100.0
+    # token set: subset tokens score 100 on the intersection construction
+    assert fz.token_set_ratio("hello world extra", "hello world") == 100.0
+    # WRatio picks the best scaled variant; exact match stays 100
+    assert fz.wratio("hello world", "hello world") == 100.0
+    assert fz.wratio("", "anything") == 0.0
+    best, score = fz.extract_one("arithmetic", ("Algebra", "Arithmetic", "Logic"))
+    assert best == "Arithmetic" and score > 70
+
+
+def test_category_normalize_branches(spark):
+    from dataflow_spark.operators.reasoning import (
+        _normalize_categories_py,
+        category_hash,
+        category_normalize,
+    )
+
+    # pure-python branch checks (reference flow replayed by hand)
+    assert _normalize_categories_py("x", "1.2") == (
+        "Foundations and Logic",
+        "Basic Theory, Formalization, and History & Education",
+    )
+    assert _normalize_categories_py("7", "junk") == (
+        "Arithmetic", "")  # primary code, secondary unmatched
+    assert _normalize_categories_py("zzz qqq", "zzz qqq") == ("", "")
+    # out-of-range codes fall through to fuzzy (and then garbage -> '')
+    assert _normalize_categories_py("99", "12.9")[0] == ""
+
+    # the secondary 'X.Y' code wins OUTRIGHT, ignoring raw_primary — the
+    # reference's branch order (CategoryFuzz.py:93-104)
+    assert _normalize_categories_py("geometry & topology", "3.3") == (
+        "Analysis and Differential Equations",
+        "Differential Equations and Dynamical Systems",
+    )
+
+    rows = [
+        ("a", "2", "number theory"),
+        ("b", "geometry & topology", "topology + algebraic topology"),
+        ("c", "nope nope", "nope"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "primary_category", "secondary_category"])
+    out = {r.id: (r.primary_category, r.secondary_category)
+           for r in category_normalize(df).collect()}
+    assert out["a"] == ("Algebra and Number Theory", "Number Theory")
+    assert out["b"] == ("Geometry and Topology", "Topology and Algebraic Topology")
+    assert out["c"] == ("", "")
+    hdf = category_normalize(df).select(
+        "id", category_hash("primary_category", "secondary_category").alias("h")
+    )
+    h = {r.id: r.h for r in hdf.collect()}
+    assert h["a"] == 8 * 1 + 3 and h["c"] == -1.0
