@@ -1625,11 +1625,17 @@ def text2sql_component_classify(spark, sf_dir):
     )
 
 
-@q("text2sql_executability")
+@q(
+    "text2sql_executability",
+    "SELECT doc_id FROM documents WHERE doc_id % 4 != 3",
+)
 def text2sql_executability(spark, sf_dir):
     """SQLExecutabilityFilter (text2sql): keep statements that parse+plan in
     an embedded per-executor DuckDB (mapInPandas; dataflow/utils/db_pool
-    analogue) — rows-only (try/except is not ANSI SQL); pytest parity in
+    analogue).  The 4-shape generated template makes survivorship
+    closed-form (shape 3 is the broken statement), so the oracle value-hashes
+    the real EXPLAIN machinery's keep set — same trick as
+    text2sql_execution_filter; per-statement behavioral parity stays in
     tests/test_text2sql.py."""
     from dataflow_spark.operators.text2sql import sql_executability_filter
 
