@@ -3375,7 +3375,7 @@ def reasoning_category_stats(spark, sf_dir):
         ELSE '' END AS secondary_category,
       CASE doc_id % 5
         WHEN 0 THEN 1.0 WHEN 1 THEN 16.0 WHEN 2 THEN 26.0 WHEN 3 THEN 49.0
-        ELSE -1.0 END AS category_code
+        ELSE 170.0 END AS category_code
     FROM documents
     """,
 )

@@ -89,10 +89,30 @@ def token_set_ratio(a: str, b: str) -> float:
     )
 
 
+def partial_token_ratio(a: str, b: str) -> float:
+    """rapidfuzz's ``fuzz.partial_token_ratio`` — the max of the partial
+    token-sort and partial token-set ratios, with the published shortcuts:
+    any shared token means the token-set intersection is a common prefix of
+    both constructed strings, so the partial score is 100 immediately; when
+    the sorted token lists coincide with the set differences (no shared
+    tokens, no duplicate tokens), the diff-vs-diff partial equals the
+    sort-vs-sort partial and is skipped."""
+    ta, tb = _sorted_tokens(a), _sorted_tokens(b)
+    sa, sb = set(ta), set(tb)
+    if sa & sb:
+        return 100.0
+    diff_ab, diff_ba = sorted(sa - sb), sorted(sb - sa)
+    result = partial_ratio(" ".join(ta), " ".join(tb))
+    if len(ta) == len(diff_ab) and len(tb) == len(diff_ba):
+        return result
+    return max(result, partial_ratio(" ".join(diff_ab), " ".join(diff_ba)))
+
+
 def wratio(a: str, b: str) -> float:
     """The published WRatio composite (fuzzywuzzy WRatio / rapidfuzz
     fuzz.WRatio): token scores scaled by 0.95; when max/min length > 1.5
-    the partial variants enter at scale 0.9 (0.6 beyond 8x)."""
+    the PARTIAL variants enter at scale 0.9 (0.6 beyond 8x) — i.e.
+    max(ratio, partial_ratio*scale, partial_token_ratio*0.95*scale)."""
     if not a or not b:
         return 0.0
     unbase = 0.95
@@ -108,9 +128,7 @@ def wratio(a: str, b: str) -> float:
     return max(
         base,
         partial_ratio(a, b) * partial_scale,
-        ratio(" ".join(_sorted_tokens(a)), " ".join(_sorted_tokens(b)))
-        * unbase * partial_scale,
-        token_set_ratio(a, b) * unbase * partial_scale,
+        partial_token_ratio(a, b) * unbase * partial_scale,
     )
 
 

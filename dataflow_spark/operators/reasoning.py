@@ -661,15 +661,15 @@ def category_normalize(
 
 def category_hash(primary_col, secondary_col) -> Column:
     """CategoryFuzz.category_hasher (CategoryFuzz.py:135-142): k*8+m over
-    taxonomy indices, -1.0 when unknown — pure Catalyst over the broadcast
-    taxonomy literals."""
+    taxonomy indices, 170.0 on the reference's except path (unknown pair) —
+    pure Catalyst over the broadcast taxonomy literals."""
     from dataflow_spark.operators._category_data import (
         PRIMARY_CATEGORIES,
         SECONDARY_CATEGORIES,
     )
 
     p, s = _c(primary_col), _c(secondary_col)
-    expr = F.lit(-1.0)
+    expr = F.lit(170.0)
     for k, prim in enumerate(PRIMARY_CATEGORIES):
         for m, sec in enumerate(SECONDARY_CATEGORIES[prim]):
             expr = F.when((p == prim) & (s == sec), F.lit(float(k * 8 + m))).otherwise(expr)

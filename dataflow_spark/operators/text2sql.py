@@ -149,14 +149,33 @@ _SQLITE_DB_PATTERNS = ("{id}.sqlite", "{id}.sqlite3", "{id}.db",
 
 def _resolve_db_path(db_root: str, db_id: str) -> str | None:
     """DatabaseManager's discovery layout (utils/text2sql/database_manager.py
-    + sqlite_connector.discover_databases patterns *.sqlite/*.sqlite3/*.db):
-    '<root>/<db_id>.<ext>' or the Spider-style '<root>/<db_id>/<db_id>.<ext>'."""
+    + sqlite_connector.discover_databases, sqlite_connector.py:330-353:
+    ``glob(root/**/pattern, recursive=True)`` with db_id = top-level dir name
+    for nested files, file stem at root level).  Fast paths first —
+    '<root>/<db_id>.<ext>' and the Spider-style '<root>/<db_id>/<db_id>.<ext>'
+    — then the reference's recursive glob under '<root>/<db_id>/' so a nested
+    db whose file name differs from its directory (e.g. '<id>/data.sqlite'
+    or '<id>/deep/x.db') still resolves.  First match in the reference's
+    pattern order (*.sqlite, *.sqlite3, *.db) wins."""
+    import glob as _glob
     import os
 
     for pat in _SQLITE_DB_PATTERNS:
         p = os.path.join(db_root, pat.format(id=db_id))
         if os.path.exists(p):
             return p
+    subdir = os.path.join(db_root, db_id)
+    if os.path.isdir(subdir):
+        for ext in ("*.sqlite", "*.sqlite3", "*.db"):
+            hits = sorted(
+                h
+                for h in _glob.glob(
+                    os.path.join(subdir, "**", ext), recursive=True
+                )
+                if os.path.isfile(h)
+            )
+            if hits:
+                return hits[0]
     return None
 
 
@@ -377,7 +396,10 @@ def sqlite_db_details(db_path: str, db_id: str) -> str:
                 ex = _examples_to_str(_examples_to_str(ex))
                 if len(ex) > 3:
                     ex = ex[:3]
-                if raw_type.upper() in ("DATE", "TIME", "DATETIME", "TIMESTAMP"):
+                # CASE-SENSITIVE on the raw (non-uppercased) declared type,
+                # matching sqlite_connector.py:224 — a column declared
+                # lowercase 'date' takes the >20-char branch there too
+                if raw_type in ("DATE", "TIME", "DATETIME", "TIMESTAMP"):
                     ex = [ex[0]] if ex else []
                 elif ex and max(len(s) for s in ex) > 20:
                     ex = [] if max(len(s) for s in ex) > 50 else [ex[0]]

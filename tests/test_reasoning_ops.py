@@ -318,9 +318,21 @@ def test_fuzz_kernels_hand_vectors():
     assert fz.token_sort_ratio("world hello", "hello world") == 100.0
     # token set: subset tokens score 100 on the intersection construction
     assert fz.token_set_ratio("hello world extra", "hello world") == 100.0
+    # partial_token_ratio: any shared token -> 100 (the rapidfuzz shortcut:
+    # the intersection is a common prefix of both constructed strings)
+    assert fz.partial_token_ratio("zz aa", "aa bb cc dd ee ff gg") == 100.0
+    # disjoint token sets with duplicate tokens take the diff-vs-diff path
+    assert fz.partial_token_ratio("q q z", "w") == 0.0
     # WRatio picks the best scaled variant; exact match stays 100
     assert fz.wratio("hello world", "hello world") == 100.0
     assert fz.wratio("", "anything") == 0.0
+    # length-mismatch branch (len_ratio 5.25 -> PARTIAL_SCALE 0.9):
+    # partial_ratio window 'spam' scores 100 -> 90 beats the token path 85.5
+    assert fz.wratio("spam", "spam and eggs and ham") == 90.0
+    # ...and where only the token path fires (shared token, weak windows):
+    # 100 * 0.95 * 0.9 = 85.5 — the plain-token variant used before this
+    # fix scored ~48.9 here, below the 50 normalize threshold
+    assert abs(fz.wratio("zz aa", "aa bb cc dd ee ff gg") - 85.5) < 1e-9
     best, score = fz.extract_one("arithmetic", ("Algebra", "Arithmetic", "Logic"))
     assert best == "Arithmetic" and score > 70
 
@@ -365,4 +377,6 @@ def test_category_normalize_branches(spark):
         "id", category_hash("primary_category", "secondary_category").alias("h")
     )
     h = {r.id: r.h for r in hdf.collect()}
-    assert h["a"] == 8 * 1 + 3 and h["c"] == -1.0
+    # unknown pair -> 170, the reference category_hasher's except-path
+    # sentinel (CategoryFuzz.py:135-142)
+    assert h["a"] == 8 * 1 + 3 and h["c"] == 170.0

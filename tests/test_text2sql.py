@@ -267,3 +267,70 @@ def test_text2sql_prompt_missing_db_raises(spark, tmp_path):
     df = spark.createDataFrame([("a", "ghost", "q?")], ["id", "db_id", "question"])
     with _pytest.raises(ValueError, match="ghost"):
         text2sql_prompt(df, str(root))
+
+
+def test_resolve_db_path_recursive_glob(tmp_path):
+    """discover_databases globs root/**/pattern recursively with db_id taken
+    from the top-level directory name (sqlite_connector.py:330-353) — so a
+    nested db whose FILE name differs from its directory, or one nested
+    deeper than one level, must still resolve."""
+    import sqlite3
+
+    from dataflow_spark.operators.text2sql import _resolve_db_path
+
+    root = tmp_path / "dbs"
+    (root / "weird").mkdir(parents=True)
+    sqlite3.connect(root / "weird" / "data.sqlite").close()
+    (root / "deepdb" / "sub").mkdir(parents=True)
+    sqlite3.connect(root / "deepdb" / "sub" / "x.db").close()
+
+    assert _resolve_db_path(str(root), "weird") == str(root / "weird" / "data.sqlite")
+    assert _resolve_db_path(str(root), "deepdb") == str(
+        root / "deepdb" / "sub" / "x.db"
+    )
+    assert _resolve_db_path(str(root), "ghost") is None
+
+
+def test_sql_execution_nested_mismatched_db(spark, tmp_path):
+    """End-to-end: the execution filter keeps rows whose db lives at
+    '<id>/data.sqlite' (file name != directory name)."""
+    import sqlite3
+
+    from dataflow_spark.operators.text2sql import sql_execution_filter
+
+    root = tmp_path / "dbs"
+    (root / "weird").mkdir(parents=True)
+    con = sqlite3.connect(root / "weird" / "data.sqlite")
+    con.execute("CREATE TABLE t (a INTEGER)")
+    con.execute("INSERT INTO t VALUES (1)")
+    con.commit()
+    con.close()
+    df = spark.createDataFrame(
+        [("ok", "weird", "SELECT a FROM t"), ("bad", "weird", "SELECT z FROM t")],
+        ["id", "db_id", "sql"],
+    )
+    kept = {r.id for r in sql_execution_filter(df, str(root), "sql", "db_id").collect()}
+    assert kept == {"ok"}
+
+
+def test_prompt_date_type_case_sensitive(spark, tmp_path):
+    """The example-truncation rule compares the RAW declared type string
+    case-sensitively (sqlite_connector.py:224): a lowercase 'date' column
+    with >50-char examples drops them entirely (generic branch), while an
+    uppercase DATE column keeps exactly one."""
+    import sqlite3
+
+    from dataflow_spark.operators.text2sql import text2sql_prompt
+
+    long_val = "x" * 60
+    root = tmp_path / "dbs"
+    root.mkdir()
+    con = sqlite3.connect(root / "caldb.sqlite")
+    con.execute('CREATE TABLE cal (d1 date, d2 DATE)')
+    con.execute("INSERT INTO cal VALUES (?, ?)", (long_val, long_val))
+    con.commit()
+    con.close()
+    df = spark.createDataFrame([("r", "caldb", "q?")], ["id", "db_id", "question"])
+    prompt = text2sql_prompt(df, str(root)).collect()[0].prompt
+    assert "(d1:DATE)" in prompt  # lowercase decl: >50-char examples dropped
+    assert f"(d2:DATE, Examples: [{long_val}])" in prompt  # DATE: keep one
