@@ -3535,6 +3535,120 @@ def kbc_qa_extract(spark, sf_dir):
     return _chk.qa_extract_alpaca(d.select(pairs.alias("QA_pairs")))
 
 
+# pure-arithmetic VARIABLE-LENGTH token corpus for the composed kbcleaning
+# chain: length 400..1600 by doc_id%5 so the 512/50 token chunker emits 1-4
+# chunks per doc (each tail-chunk length distinct); same per-doc-slope token
+# generator as _SYN_TOKENS_EXPR so it is re-derivable in DuckDB.
+_KBC_TOKENS_EXPR = (
+    "transform(sequence(0, 399 + cast(doc_id % 5 as int) * 300), "
+    "j -> cast((doc_id * 131 * j + j * 17 + doc_id) % 50257 as int))"
+)
+_KBC_TOKENS_SQL = (
+    "list_transform(range(0, 400 + (doc_id % 5) * 300), "
+    "j -> ((doc_id * 131 * j + j * 17 + doc_id) % 50257)::INT)"
+)
+
+
+@q(
+    "pipeline_kbc_reference",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_KBC_TOKENS_SQL} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(range(1, greatest(1, len(toks) - 50) + 1, 462),
+                         s -> list_slice(toks, s, s + 511)),
+          x -> len(x) > 0) AS chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(range(len(chunks)))::INT AS chunk_idx,
+             unnest(chunks) AS ck
+      FROM c
+    ),
+    qa AS (
+      SELECT doc_id, chunk_idx, [
+        {{ 'question': 'What is chunk ' || doc_id || ':' || chunk_idx || '?',
+           'answer': '  tok ' || ck[1] || ' ' || ck[len(ck)] || ' n=' || len(ck) || '  ' }},
+        {{ 'question': CASE WHEN chunk_idx % 2 = 1 THEN ''
+                       ELSE 'Sum head ' || doc_id || '?' END,
+           'answer': 'h=' || (ck[1] + ck[2]) }},
+        {{ 'question': 'Tail?',
+           'answer': CASE WHEN doc_id % 5 = 0 THEN '   '
+                     ELSE 'last=' || ck[len(ck)] END }}
+      ] AS pairs
+      FROM e
+    ),
+    ex AS (SELECT unnest(pairs) AS p FROM qa),
+    s AS (
+      SELECT regexp_replace(p.question, '^\s+|\s+$', '', 'g') AS q,
+             regexp_replace(p.answer, '^\s+|\s+$', '', 'g') AS a
+      FROM ex
+    )
+    SELECT 'Please answer the following question based on the provided information.'
+             AS instruction,
+           q AS input, a AS output
+    FROM s WHERE q <> '' AND a <> ''
+    """,
+)
+def pipeline_kbc_reference(spark, sf_dir):
+    """The reference's kbcleaning CPU pipeline composed end-to-end
+    (statics/pipelines/cpu_pipelines/kbcleaning_pipeline_url.py:22-38 +
+    the QAExtractor parse half of the QA step, qa_extract.py:86-134):
+    KBCChunkGenerator in the pipeline's production configuration
+    (split_method='token', chunk_size=512, chunk_overlap=50 — the
+    kbc_chunk_generator.py:20-29 defaults) over a pre-tokenized corpus,
+    then per-chunk QA pairs flowed through QAExtractor's strip/drop/Alpaca
+    formatting.  Step 1 of the reference pipeline (MinerU URL->markdown)
+    is an external-API non-goal; the tokenizer is stood in by the
+    DuckDB-re-derivable arithmetic token stream (variable length 400..1600
+    so every chunk-count/tail-length shape 1..4 appears).  QA answers embed
+    chunk head/tail tokens and chunk length, so the composed value hash
+    pins the chunk SLICING (boundaries, overlap, tail handling) through the
+    whole chain; planted empty questions (odd chunks) and whitespace-only
+    answers (doc_id%5==0) exercise both QAExtractor drop paths."""
+    from dataflow_spark.operators.chunking import chunk_tokens, qa_extract_alpaca
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_KBC_TOKENS_EXPR).alias("tokens"))
+        .localCheckpoint(eager=True)  # same O(L^2) generator-expr trap as _syn_token_docs
+    )
+    ch = chunk_tokens(d, chunk_size=512, chunk_overlap=50)
+    sid = F.col("doc_id").cast("string")
+    cid = F.col("chunk_idx").cast("string")
+    first = F.expr("element_at(tokens, 1)").cast("string")
+    last_tok = F.expr("element_at(tokens, n_tok)").cast("string")
+    head_sum = F.expr("element_at(tokens, 1) + element_at(tokens, 2)").cast("string")
+    pairs = F.array(
+        F.struct(
+            F.concat(F.lit("What is chunk "), sid, F.lit(":"), cid, F.lit("?")).alias(
+                "question"
+            ),
+            F.concat(
+                F.lit("  tok "), first, F.lit(" "), last_tok,
+                F.lit(" n="), F.col("n_tok").cast("string"), F.lit("  "),
+            ).alias("answer"),
+        ),
+        F.struct(
+            F.when(F.col("chunk_idx") % 2 == 1, F.lit(""))
+            .otherwise(F.concat(F.lit("Sum head "), sid, F.lit("?")))
+            .alias("question"),
+            F.concat(F.lit("h="), head_sum).alias("answer"),
+        ),
+        F.struct(
+            F.lit("Tail?").alias("question"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("   "))
+            .otherwise(F.concat(F.lit("last="), last_tok))
+            .alias("answer"),
+        ),
+    )
+    return qa_extract_alpaca(ch.select(pairs.alias("QA_pairs")))
+
+
 # ---------------------------------------------------------------------------
 # registration order (VERDICT r2 item #3): the round driver value-checks the
 # FIRST 50 registered queries only — put the highest-signal entries (composed
@@ -3584,7 +3698,9 @@ _PRIORITY = (
     "eval_ngram_uniqueness",
     "eval_langid",
     "eval_token_count",
-    "eval_quality_score",
+    # composed kbcleaning chain (round-4; replaced the redundant singleton
+    # eval_quality_score, which stays value-checked by tools/check_oracles.py)
+    "pipeline_kbc_reference",
     "eval_bench_accuracy_langid",
     # refiners with full-dictionary parity
     "refine_remove_emoticons",

@@ -309,6 +309,11 @@ def filter_stage(name: str, cond_builder, label: str | None = None, **defaults):
 
     def make(input_key: str = "text", **params) -> Stage:
         merged = {**defaults, **params}
+        # fail fast at compose time (config-driven specs resolve operators
+        # by name — a typo'd param should not wait for executor time)
+        import inspect
+
+        inspect.signature(cond_builder).bind(input_key, **merged)
 
         def fn(df: DataFrame) -> DataFrame:
             cond = cond_builder(input_key, **merged)

@@ -77,6 +77,7 @@ def test_driver_priority_window():
         "pipeline_code_pt_reference",
         "pipeline_reasoning_reference",
         "pipeline_text2sql_reference",
+        "pipeline_kbc_reference",
         "dedup_minhash_tokens",
         "media_image_features_ppm",
         "ann_ivf_fullprobe_top5",
