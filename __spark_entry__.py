@@ -1264,21 +1264,57 @@ def events_distinct_users(spark, sf_dir):
     )
 
 
-@q("ann_ivf_top5")
+# planted-cluster corpus for the PARTIAL-probe IVF value check: 16-dim
+# one-hot directions, cluster c = vec_id % 8, member scale 1 + vec_id % 13
+# (cosine is scale-invariant, so every cluster member has IDENTICAL
+# geometry).  All members of a cluster therefore land in the same IVF cell
+# as the query, and the query's own top-1 probe always includes that cell
+# (same assignment code path, same tie-breaks) — so even at nprobe=4 < 8
+# cells the true top-k is inside the probed set BY CONSTRUCTION and the
+# result must equal exact brute force, which DuckDB computes directly.
+_IVF_PLANT_EXPR = (
+    "transform(sequence(0, 15), j -> cast("
+    "case when j = vec_id % 8 then 1.0 + (vec_id % 13) else 0.0 end as float))"
+)
+_IVF_PLANT_SQL = (
+    "list_transform(range(0, 16), j -> CASE WHEN j = (vec_id % 8) "
+    "THEN (1.0 + (vec_id % 13))::DOUBLE ELSE 0.0::DOUBLE END)"
+)
+
+
+@q(
+    "ann_ivf_top5",
+    f"""
+    WITH e AS (SELECT vec_id, {_IVF_PLANT_SQL} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+      FROM e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def ann_ivf_top5(spark, sf_dir):
-    """IVF ANN (similarity.py): deterministic coarse quantizer (seeded sample
-    + 1 Lloyd step), nprobe=4 of 8 cells — rows-only (recall vs brute force
-    asserted in tests/test_operators_ext.py)."""
+    """IVF ANN at PARTIAL probe (similarity.py ivf_topk, nprobe=4 of 8
+    cells) under a closed-form recall guarantee: on the planted-cluster
+    corpus (see _IVF_PLANT_EXPR) every true top-5 neighbor shares the
+    query's cell by construction, so the partial-probe result must equal
+    exact brute force and the oracle value-hashes it (previously rows-only;
+    recall on the REAL embedding corpus stays pytest-checked in
+    tests/test_operators_ext.py)."""
     from dataflow_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", F.expr(_IVF_PLANT_EXPR).alias("embedding"))
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cents = train_ivf_centroids(emb, n_centroids=8, lloyd_iters=1)
-    return ivf_topk(emb, qs, cents, k=5, nprobe=4).select(
-        "query_id", "vec_id", "rank"
-    )
+    return ivf_topk(emb, qs, cents, k=5, nprobe=4)
 
 
 @q(
@@ -1732,14 +1768,110 @@ def text2sql_execution_filter(spark, sf_dir):
     return sql_execution_filter(g, db_root).select("doc_id", "db_id")
 
 
-@q("text2sql_prompt_gen")
+# Hand-pasted copy of the reference prompt template (prompts/text2sql.py:
+# 1491-1525) for the ORACLE side — deliberately NOT imported from
+# operators.text2sql, so the value hash cross-checks the engine's template
+# bytes as well as its live introspection.
+_T2S_PROMPT_TEMPLATE_ORACLE = """Task Overview:
+You are a data science expert. Below, you are provided with a database schema and a natural language question. Your task is to understand the schema and generate a valid SQL query to answer the question.
+
+Database Engine:
+{db_engine}
+
+Database Schema:
+{db_details}
+This schema describes the database's structure, including tables, columns, primary keys, foreign keys, any relevant relationships or constraints.
+
+Question:
+{question_and_evidence}
+
+Instructions:
+- Make sure you only output the information that is asked in the question. If the question asks for a specific column, make sure to only include that column in the SELECT clause, nothing more.
+- The generated query should return all of the information asked in the question without any missing or extra information.
+- Before generating the final SQL query, please think through the steps of how to write the query.
+
+Output Format:
+In your answer, please enclose the generated SQL query in a code block:
+```sql
+-- Your SQL query
+```
+
+Take a deep breath and think step by step to find the correct SQL query."""
+
+
+def _t2s_prompt_oracle_sql() -> str:
+    """Closed-form DuckDB replay of text2sql_prompt_gen: the sqlite fixture
+    is BUILT from the nation/region parquet in insertion order, and sqlite's
+    `SELECT DISTINCT ... LIMIT 5` streams first-appearance order (ephemeral
+    b-tree membership check over the table scan) — so the M-Schema example
+    lists are re-derivable as first-appearance distinct (group by value,
+    order by min(key), limit 3 after the reference's [:3] truncation; all
+    fixture values are short, so the >20/>50-char branches never fire and
+    the closed form stays exact).  No primary keys / foreign keys / date
+    columns exist in the fixture, matching the engine's introspection."""
+    pre, rest = _T2S_PROMPT_TEMPLATE_ORACLE.split("{db_details}")
+    mid, post = rest.split("{question_and_evidence}")
+    sq = lambda s: s.replace("'", "''")  # noqa: E731
+    pre = sq(pre.replace("{db_engine}", "sqlite"))
+    mid, post = sq(mid), sq(post)
+
+    def fa(col: str, key: str, table: str) -> str:
+        return (
+            f"(SELECT string_agg(val::VARCHAR, ', ' ORDER BY mk) AS s FROM ("
+            f"SELECT {col} AS val, min({key}) AS mk FROM {table} "
+            f"WHERE {col} IS NOT NULL GROUP BY 1 ORDER BY 2 LIMIT 3) t)"
+        )
+
+    return f"""
+    WITH exn1 AS {fa("n_nationkey", "n_nationkey", "nation")},
+    exn2 AS {fa("n_name", "n_nationkey", "nation")},
+    exn3 AS {fa("n_regionkey", "n_nationkey", "nation")},
+    exr1 AS {fa("r_regionkey", "r_regionkey", "region")},
+    exr2 AS {fa("r_name", "r_regionkey", "region")},
+    det AS (
+      SELECT 'nation' AS db_id,
+        '【DB_ID】 nation' || chr(10) || '【Schema】' || chr(10) ||
+        '# Table: nation' || chr(10) || '[' || chr(10) ||
+        '(n_nationkey:INTEGER, Examples: [' || exn1.s || ']),' || chr(10) ||
+        '(n_name:TEXT, Examples: [' || exn2.s || ']),' || chr(10) ||
+        '(n_regionkey:INTEGER, Examples: [' || exn3.s || '])' || chr(10) ||
+        ']' AS d
+      FROM exn1, exn2, exn3
+      UNION ALL
+      SELECT 'region',
+        '【DB_ID】 region' || chr(10) || '【Schema】' || chr(10) ||
+        '# Table: region' || chr(10) || '[' || chr(10) ||
+        '(r_regionkey:INTEGER, Examples: [' || exr1.s || ']),' || chr(10) ||
+        '(r_name:TEXT, Examples: [' || exr2.s || '])' || chr(10) ||
+        ']'
+      FROM exr1, exr2
+    ),
+    g AS (
+      SELECT doc_id,
+        CASE doc_id % 2 WHEN 0 THEN 'nation' ELSE 'region' END AS db_id,
+        'How many rows for doc ' || doc_id::VARCHAR || '?' AS question,
+        CASE WHEN doc_id % 3 = 0 THEN 'hint: count them' ELSE '' END AS evidence
+      FROM documents
+    )
+    SELECT g.doc_id, g.db_id,
+      '{pre}' || det.d || '{mid}' ||
+      CASE WHEN g.evidence <> '' THEN g.evidence || chr(10) || g.question
+           ELSE g.question END || '{post}' AS prompt
+    FROM g JOIN det ON g.db_id = det.db_id
+    """
+
+
+@q("text2sql_prompt_gen", _t2s_prompt_oracle_sql())
 def text2sql_prompt_gen(spark, sf_dir):
     """Text2SQLPromptGenerator (text2sql_prompt_generator.py:58-116): real
     sqlite M-Schema introspection per distinct db_id (driver-side, db pool is
     small by construction) + broadcast join + pure-Catalyst template concat.
     Exercises both databases and the evidence / no-evidence branches.
-    Rows-only at the gate (the prompt embeds live-introspected schema text);
-    byte-exact parity against a hand-written expected prompt is pinned in
+    VALUE-HASHED since round 4: the DuckDB oracle rebuilds the full prompt
+    byte-for-byte from the same parquet the sqlite fixture is built from
+    (_t2s_prompt_oracle_sql) — template bytes from an independent pasted
+    copy, examples as first-appearance distinct; additionally byte-parity
+    against a hand-written expected prompt is pinned in
     tests/test_text2sql.py."""
     from dataflow_spark.operators.text2sql import text2sql_prompt
 

@@ -218,6 +218,11 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
         # it should reject (an 87 cpu-sec-steal sample passed it once)
         clean = [t for t, s in zip(ts, st) if s < 0.05 * min(ts) * ncpu]
         timings[name] = round(statistics.median(clean if len(clean) >= 2 else ts), 3)
+        # permanent estimator pair (VERDICT r3 #7): `queries` carries the
+        # median (the headline statistic), `queries_min` the min of the same
+        # samples — cross-round comparisons must be estimator-consistent
+        # (median-to-median or min-to-min; see NOTES.md round-4 rule)
+        extras.setdefault("queries_min", {})[name] = round(min(ts), 3)
 
     bench("pt_pipeline", lambda: pt_pipeline(spark, corpus_dir))
     if "pt_pipeline" in timings:

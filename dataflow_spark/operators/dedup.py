@@ -199,6 +199,12 @@ def _cc_min_numpy(a: "np.ndarray", b: "np.ndarray") -> tuple:
 # keeps it at 4M (heap-scaled variants lose above it on every topology).
 CC_LOCAL_EDGE_THRESHOLD = 4_000_000
 
+# Hard cap for the depth-2 contraction terminator's forced driver-local
+# solve (see connected_components_min): 200M edges = 3.2 GB of raw longs,
+# feasible on a large driver; beyond it the until-convergence propagation
+# loop is the only remaining (correct, slow) option.
+CC_FORCE_LOCAL_CAP = int(os.environ.get("DATAFLOW_CC_FORCE_LOCAL_CAP", str(200_000_000)))
+
 
 def cc_local_edge_threshold(spark) -> int:
     """Local/distributed CC crossover: the 4M floor, overridable via
@@ -232,23 +238,160 @@ def cc_local_edge_threshold(spark) -> int:
 SIG_CHUNK_BYTES = int(os.environ.get("DATAFLOW_SIG_CHUNK_BYTES", str(512 * 1024)))
 
 
+def _cc_distributed_contract(
+    edges: DataFrame,
+    local_threshold: int,
+    max_iter: int | None = None,
+    n_parts: int | None = None,
+    _depth: int = 0,
+) -> DataFrame:
+    """Distributed CC by partition-local solve + edge contraction (VERDICT
+    r3 task #1; the two-phase scheme behind CC-MR / Kiveris et al.'s
+    MapReduce CC family, chosen over alternating large-star/small-star
+    because the numpy kernel already solves megaedge graphs in ~1 s, so one
+    shuffle + parallel local solves + a TINY residual beats even 2-3
+    star rounds):
+
+    1. hash-shuffle edges on ``a`` (bucket stars have constant ``a``, so a
+       whole LSH star lands in one partition);
+    2. per partition, run the vectorized numpy min-label kernel on that
+       partition's edge set -> (node, local_root) rows — the root is the
+       min node id of the node's PARTITION-LOCAL component;
+    3. a node seen in k>1 partitions has up to k distinct local roots; all
+       of those roots belong to one global component, so emit the residual
+       star (min_root, other_root) per such node.  The residual graph has
+       one node per local root and collapses to the cross-partition
+       adjacency only — orders of magnitude smaller than the input (at
+       r1600, 8.3M edges -> residual well under the 4M local threshold);
+    4. solve the residual recursively (in practice: one driver-local numpy
+       pass), then map every node through root -> global component.
+
+    Correctness: two nodes are globally connected iff their local roots are
+    linked by a chain of shared-node residual stars; the global min label
+    survives because the component-wide min node m is a local root wherever
+    it appears (its local component contains m, and roots are local minima,
+    so root <= m and root >= min = m).  Parity with both the numpy kernel
+    and the iterative propagation loop is pinned in tests/test_dedup.py.
+
+    Scale shape: a FIXED pipeline of one repartition shuffle, one narrow
+    mapInPandas, one groupBy shuffle, one join + final min-agg — no
+    O(rounds) driver barrier, every stage fully parallel.  Partition-local
+    memory is the partition's edge list (~16 B/edge + kernel overhead);
+    size ``n_parts`` (default: spark.sql.shuffle.partitions) so partitions
+    fit executor memory — 1B edges over 2048 partitions is ~8 MB/task."""
+    spark = edges.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    def solve(it):
+        cas, cbs = [], []
+        for pdf in it:
+            cas.append(pdf["a"].to_numpy(np.int64))
+            cbs.append(pdf["b"].to_numpy(np.int64))
+        if not cas:
+            return
+        a = np.concatenate(cas)
+        b = np.concatenate(cbs)
+        if len(a) == 0:
+            return
+        nodes, lbl = _cc_min_numpy(a, b)
+        yield pd.DataFrame({"node": nodes, "local_root": lbl})
+
+    m = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .repartition(n_parts, "a")
+        .mapInPandas(solve, "node long, local_root long")
+        .localCheckpoint(eager=True)  # reused: residual build + final map
+    )
+    residual = (
+        m.groupBy("node")
+        .agg(
+            F.min("local_root").alias("_r0"),
+            F.collect_set("local_root").alias("_rs"),
+        )
+        .select(F.col("_r0").alias("a"), F.explode("_rs").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    roots = connected_components_min(
+        residual, max_iter=max_iter, local_threshold=local_threshold,
+        _depth=_depth + 1,
+    ).withColumnRenamed("node", "local_root")
+    # every multi-root node's roots share one residual component, so the
+    # min-agg only dedupes the per-partition copies (values are equal);
+    # single-root nodes whose root never entered the residual keep it
+    return (
+        m.join(roots, "local_root", "left")
+        .select(
+            "node",
+            F.coalesce("component", "local_root").alias("component"),
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that also DROPS inherited plan statistics.
+
+    ``Dataset.localCheckpoint`` truncates lineage but keeps the origin
+    plan's Statistics on the resulting LogicalRDD.  In an iterative
+    self-join loop the ``sizeInBytes`` estimate therefore SQUARES every
+    round (join stats = product of child sizes), and after ~15 rounds
+    Catalyst's SizeInBytesOnlyStatsPlanVisitor is multiplying 2^15-bit
+    BigIntegers — the stats walk itself dominates and wall time DOUBLES
+    per round (diagnosed round 4 via jstack: 112 s of
+    BigInteger.multiplyToomCook3 under visitJoin; plan size, row count,
+    job count all constant).  Rebuilding the DataFrame from the
+    checkpointed InternalRow RDD yields a LogicalRDD with no origin
+    stats, so estimates restart from the default size.  Falls back to the
+    plain checkpoint if the (stable-in-practice, private[sql]) JVM hook is
+    unavailable."""
+    jdf = df._jdf.localCheckpoint(True)
+    try:
+        jspark = df.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:
+        return DataFrame(jdf, df.sparkSession)
+
+
 def connected_components_min(
-    edges: DataFrame, max_iter: int = 20,
+    edges: DataFrame, max_iter: int | None = None,
     local_threshold: int | None = None,
     _materialized: bool = False,
+    strategy: str = "auto",
+    _depth: int = 0,
 ) -> DataFrame:
     """Edges (a:long, b:long) -> (node:long, component:long) where component
-    is the min node id reachable.  Two strategies:
+    is the min node id reachable.  Strategies:
 
     - **local** (edge count <= local_threshold): collect the two long columns
       via Arrow and run the numpy min-label kernel — one job, no per-round
       serial barrier.  At 10% dup rate the threshold covers corpora of ~40M
       docs per dedup invocation.
-    - **distributed** (above threshold): iterative min-label propagation —
-      each round joins labels across edges and keeps the min; converges in
-      O(diameter) rounds (near-dup clusters at 0.9 threshold are tiny stars).
-      Per-round fixed cost amortizes at this scale because rounds are
-      data-heavy.
+    - **contract** (above threshold, the default since round 4): one
+      hash-shuffle of the edges, a partition-local numpy CC inside
+      mapInPandas, then a CONTRACTED residual graph (local-root links of
+      nodes seen in several partitions) solved recursively — it collapses
+      under the local threshold in one step on every real near-dup graph,
+      so the whole solve is a FIXED number of data-heavy jobs with no
+      per-round checkpoint+convergence-count serial barrier (that barrier
+      was the measured core-count-independent gap at executor topology,
+      VERDICT r3 #1).  See _cc_distributed_contract.
+    - **iterative**: the pre-round-4 min-label propagation loop — kept as
+      the parity baseline and as the depth-2 terminator for adversarial
+      contraction inputs.  Since round 4 it runs to TRUE convergence:
+      the old ``max_iter=20`` cutoff silently under-converged on graphs
+      where two locally-converged regions merge late (the new smaller
+      label then walks back one hop per round — the pointer jump is a
+      no-op across a run of EQUAL labels, so convergence is O(diameter)
+      after the merge, not O(log); found by the round-4 contraction
+      parity sweep, pinned in test_cc_iterative_late_merge_convergence).
+      ``max_iter`` is now an optional safety valve that RAISES on overrun
+      instead of silently returning wrong labels.
     """
     # materialize the (usually small) edge set once — every propagation round
     # joins against it twice, and without this the entire upstream chain
@@ -257,7 +400,17 @@ def connected_components_min(
         edges = edges.localCheckpoint(eager=True)
     if local_threshold is None:
         local_threshold = cc_local_edge_threshold(edges.sparkSession)
-    if edges.count() <= local_threshold:
+    n_edges = edges.count()
+    # Depth-2 terminator: a residual still above local_threshold after two
+    # contractions means an extremely chain-shaped graph (hash partitioning
+    # barely merges consecutive links) — the vectorized driver solve is the
+    # only fast option there, and 200M edges (3.2 GB of longs) is within a
+    # large driver.  Only the propagation loop (correct but O(diameter)
+    # rounds) remains beyond the cap.
+    force_local = (
+        strategy == "auto" and _depth >= 2 and n_edges <= CC_FORCE_LOCAL_CAP
+    )
+    if n_edges <= local_threshold or force_local:
         pdf = edges.select(
             F.col("a").cast("long"), F.col("b").cast("long")
         ).toPandas()
@@ -269,12 +422,28 @@ def connected_components_min(
         )
         out = pd.DataFrame({"node": nodes, "component": lbl})
         return spark.createDataFrame(out)
+    if strategy == "auto":
+        strategy = "contract" if _depth < 2 else "iterative"
+    if strategy == "contract":
+        return _cc_distributed_contract(
+            edges, local_threshold=local_threshold, max_iter=max_iter,
+            _depth=_depth,
+        )
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.groupBy("a").agg(F.min("b").alias("lbl"))
         .select(F.col("a").alias("node"), F.least("a", "lbl").alias("component"))
     )
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
+        rounds += 1
+        if max_iter is not None and rounds > max_iter:
+            raise RuntimeError(
+                f"connected_components_min: no convergence within max_iter="
+                f"{max_iter} rounds — the graph has a long post-merge "
+                "propagation path; raise max_iter (or leave it None to run "
+                "to convergence), or use strategy='contract'"
+            )
         # neighbor's current label, pulled across edges
         prop = (
             sym.join(labels, sym["b"] == labels["node"], "inner")
@@ -293,10 +462,12 @@ def connected_components_min(
             .withColumnRenamed("new_component", "component")
         )
         # pointer-jump (component <- min(component, component[component])):
-        # label values are node ids, so a self-join compresses paths and
-        # turns chain convergence from O(diameter) into O(log diameter)
-        # rounds — without this a path longer than max_iter under-converges
-        # SILENTLY (caught by test_cc_local_vs_distributed_parity).
+        # label values are node ids, so a self-join compresses paths —
+        # doubling per round while labels still form deep chains.  NOTE the
+        # jump is a no-op across a run of EQUAL labels, so after a late
+        # merge of two converged regions propagation is one hop per round;
+        # that is why the loop runs to convergence instead of a fixed
+        # round cap (round-4 fix; test_cc_iterative_late_merge_convergence).
         parent = new_labels.select(
             F.col("node").alias("_pn"), F.col("component").alias("_pc")
         )
@@ -308,7 +479,9 @@ def connected_components_min(
                 (F.col("_chg") | (F.coalesce("_pc", F.col("component")) < F.col("component"))).alias("_chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # stats-resetting checkpoint — the plain localCheckpoint compounds
+        # join-size estimates across rounds (see _checkpoint_reset_stats)
+        new_labels = _checkpoint_reset_stats(new_labels)
         changed = new_labels.where(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:

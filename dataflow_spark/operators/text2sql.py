@@ -455,6 +455,7 @@ def text2sql_prompt(
     evidence_key: str | None = "evidence",
     out_key: str = "prompt",
     db_engine: str = "sqlite",
+    max_distinct_db_ids: int = 10_000,
 ) -> DataFrame:
     """Text2SQLPromptGenerator (text2sql_prompt_generator.py:58-116 +
     Text2SQLPromptGeneratorPrompt, prompts/text2sql.py:1491-1525): per row,
@@ -465,7 +466,25 @@ def text2sql_prompt(
     the driver and the (db_id, db_details) map joins back as a broadcast;
     the template itself is a pure Catalyst concat — no Python in the per-row
     path at all.  A db_id with no database raises ValueError up front, the
-    reference's get_db_details contract (database_manager.py:351-353)."""
+    reference's get_db_details contract (database_manager.py:351-353).
+
+    ``max_distinct_db_ids`` guards the driver-side introspection against
+    registry-explosion inputs: real db registries are catalog-sized
+    (Spider ≈ 200), but a pathological corpus with millions of distinct
+    db_ids would serialize introspection on the driver — the probe below
+    fails fast (one LIMIT cap+1 job, no unbounded collect) before any
+    sqlite work.  For such inputs, move introspection executor-side: a
+    ``mapInPandas`` stage over ``distinct(db_id)`` calling
+    ``sqlite_db_details`` per partition, then the same broadcast join."""
+    cap = max_distinct_db_ids
+    probe = df.select(db_id_key).distinct().limit(cap + 1).count()
+    if probe > cap:
+        raise ValueError(
+            f"text2sql_prompt: > {cap} distinct {db_id_key!r} values — "
+            "driver-side introspection is for catalog-sized db registries; "
+            "raise max_distinct_db_ids or introspect executor-side via "
+            "mapInPandas over the distinct db_ids (see docstring)"
+        )
     distinct_ids = [r[0] for r in df.select(db_id_key).distinct().collect()]
     details = []
     missing = []

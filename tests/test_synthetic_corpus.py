@@ -84,6 +84,7 @@ def test_driver_priority_window():
     ):
         assert must in window, must
     oracles = m.oracle_sql()
-    # every window entry except documented rows-only ops has a value oracle
+    # since round 4 every driver-window entry has a value-hash oracle
+    # (text2sql_prompt_gen and ann_ivf_top5 were the last rows-only ones)
     rows_only = {n for n in window if n not in oracles}
-    assert rows_only <= {"text2sql_prompt_gen"}, rows_only
+    assert not rows_only, rows_only

@@ -334,3 +334,22 @@ def test_prompt_date_type_case_sensitive(spark, tmp_path):
     prompt = text2sql_prompt(df, str(root)).collect()[0].prompt
     assert "(d1:DATE)" in prompt  # lowercase decl: >50-char examples dropped
     assert f"(d2:DATE, Examples: [{long_val}])" in prompt  # DATE: keep one
+
+
+def test_prompt_db_id_explosion_fails_fast(spark, tmp_path):
+    """Registry-explosion guard: a 10^6-distinct-db_id input must fail fast
+    (one LIMIT-capped probe job, no unbounded driver collect, no sqlite
+    work) with the mapInPandas pointer in the message."""
+    import pytest as _pytest
+
+    from dataflow_spark.operators.text2sql import text2sql_prompt
+
+    root = tmp_path / "dbs"
+    root.mkdir()
+    big = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("db_"), F.col("id").cast("string")).alias("db_id"),
+        F.lit("q?").alias("question"),
+    )
+    with _pytest.raises(ValueError, match="mapInPandas"):
+        text2sql_prompt(big, str(root), max_distinct_db_ids=1000)
