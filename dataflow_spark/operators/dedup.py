@@ -743,6 +743,7 @@ def minhash_dedup(
     token_ngram: int = 3,
     seed: int = 1,
     bucket_cap: int = 100_000,
+    drop_oversized_early: bool = False,
 ) -> DataFrame:
     """MinHashDeduplicateFilter (minhash_deduplicate_filter.py:9-89): char
     5-gram MinHash(num_perm=128) + LSH at threshold≈0.9; survivor = min-seq
@@ -765,7 +766,7 @@ def minhash_dedup(
         )
         edges = minhash_candidate_edges(
             df, None, seq_col, num_perm, bands, seed, bucket_cap,
-            bands_expr=bands_expr,
+            bands_expr=bands_expr, drop_oversized_early=drop_oversized_early,
         )
         return keep_cluster_min(df, edges, seq_col, edges_materialized=True)
     else:
@@ -781,7 +782,8 @@ def minhash_dedup(
         ).otherwise(F.array(s))
     shingle_hashes = F.transform(shingles, lambda g: F.xxhash64(g))
     return _minhash_from_hashes(
-        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap
+        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap,
+        drop_oversized_early,
     )
 
 
@@ -793,9 +795,11 @@ def _minhash_from_hashes(
     bands: int,
     seed: int,
     bucket_cap: int = 100_000,
+    drop_oversized_early: bool = False,
 ) -> DataFrame:
     edges = minhash_candidate_edges(
-        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap
+        df, shingle_hashes, seq_col, num_perm, bands, seed, bucket_cap,
+        drop_oversized_early=drop_oversized_early,
     )
     return keep_cluster_min(df, edges, seq_col, edges_materialized=True)
 
@@ -810,6 +814,7 @@ def minhash_candidate_edges(
     bucket_cap: int = 100_000,
     bands_expr=None,
     materialize: bool = True,
+    drop_oversized_early: bool = False,
 ) -> DataFrame:
     """The distributed half of MinHash-LSH: signature -> banded buckets ->
     star edges (a, b), returned MATERIALIZED (eager localCheckpoint).
@@ -825,9 +830,14 @@ def minhash_candidate_edges(
     — FIXED 16-byte buffers, so a degenerate hot bucket can never blow an
     executor no matter its size, with no salting machinery needed; an inner
     join of the banded rows against the kept roots (AQE broadcasts the root
-    table when small, and AQE skew-join splits the one hot reducer partition
-    a dropped degenerate bucket would otherwise pile onto); star edges;
-    distinct.  Under a broadcast the banded side never shuffles for the
+    table when small); star edges; distinct.  A dropped over-cap bucket's
+    rows still cross that join's shuffle as one bounded-memory
+    external-sort straggler — round-4 measurement falsified the earlier
+    assumption that AQE skew-join splits it (OptimizeSkewedJoin only
+    matches SMJ(Sort(Shuffle), Sort(Shuffle)); the roots side aggregates
+    between its shuffle and the join — NOTES.md round-4);
+    ``drop_oversized_early`` removes those rows before the shuffle at the
+    measured cost of one extra explode+agg pass (see inline comment).  Under a broadcast the banded side never shuffles for the
     join, and distinct's map-side combine then runs with all of a doc's
     bands colocated, collapsing the up-to-``bands``x duplicate (member,
     root) pairs before the only large exchange.
@@ -872,8 +882,36 @@ def minhash_candidate_edges(
         roots = banded.groupBy("band_id", "band_hash").agg(
             F.min("_seq").alias("_root"), F.count("*").alias("_n")
         )
+        # Degenerate-bucket reducer pile-up (round-4 measurement, NOTES.md):
+        # rows of a DROPPED over-cap bucket still flow into the join
+        # shuffle (matching nothing, but sorted on one reducer), and the
+        # round-3 assumption that AQE skew-join splits that pile-up is
+        # FALSE — OptimizeSkewedJoin only pattern-matches SMJ(Sort(Shuffle),
+        # Sort(Shuffle)), and this join's roots side has the bucket
+        # aggregate between its shuffle and the join, so the rule never
+        # fires on this shape.  ``drop_oversized_early`` broadcast-anti-
+        # joins the over-cap keys out of the banded side BEFORE the join
+        # shuffle, hard-bounding every reducer's per-key rows at
+        # ``bucket_cap`` by construction.  It is OPT-IN because the
+        # broadcast subtree re-runs the explode + bucket agg (Catalyst does
+        # not ReuseExchange into a broadcast subtree; the signature UDF
+        # itself is served from the persisted sig via canonicalized-plan
+        # cache match) — a measured constant cost on EVERY run, vs one
+        # bounded-memory external-sort straggler task only when a
+        # degenerate bucket actually exists (rare: exact dedup upstream
+        # collapses identical docs first).  Audit degenerate buckets with
+        # minhash_dropped_buckets and enable the guard for corpora that
+        # show them.
+        paired = banded
+        if drop_oversized_early:
+            dropped_keys = roots.where(F.col("_n") > bucket_cap).select(
+                "band_id", "band_hash"
+            )
+            paired = banded.join(
+                F.broadcast(dropped_keys), ["band_id", "band_hash"], "left_anti"
+            )
         edges = (
-            banded.join(
+            paired.join(
                 roots.where(F.col("_n") <= bucket_cap),
                 ["band_id", "band_hash"],
             )

@@ -118,6 +118,8 @@ def test_minhash_signature_udf_planned_once(corpus, path):
     # planned once per consumer; in production the signature is persisted and
     # the UDF runs once (PLANS.md §MinHash).  The InferFiltersFromGenerate
     # trap (NOTES round-2) would plan an EXTRA copy per consumer -> 3-4.
+    # (drop_oversized_early=True would add a third consumer for the
+    # over-cap-keys broadcast — opt-in, not the default plan.)
     assert nodes.count("ArrowEvalPython") == 2, nodes
     assert "CartesianProduct" not in nodes and "BroadcastNestedLoopJoin" not in nodes
 
@@ -155,3 +157,63 @@ def test_pt_pipeline_filters_before_single_shuffle(corpus):
     assert nodes.count("Exchange") == 1, nodes
     m = re.search(r"PushedFilters: \[([^\]]*)\]", text)
     assert m and "n_tok" in m.group(1), text[:2000]
+
+
+def test_minhash_degenerate_bucket_hard_bound(spark):
+    """VERDICT r3 #8: the skew story MEASURED — and the measurement
+    falsified the round-3 comment.  Spark's OptimizeSkewedJoin only
+    pattern-matches SMJ(Sort(Shuffle), Sort(Shuffle)); the banded⋈roots
+    join has the bucket aggregate between the roots shuffle and the join,
+    so AQE never splits the hot reducer partition a dropped degenerate
+    bucket piles onto (verified on a planted 500k-row hot cluster: the
+    final adaptive plan carries no skew=true, while an isomorphic join
+    WITHOUT the mid-stage aggregate does get split — NOTES.md round-4).
+    The fix is by construction, pinned here:
+
+    1. with the OPT-IN drop_oversized_early guard, over-cap bucket keys
+       are broadcast-anti-joined out of the banded side BEFORE the join
+       shuffle — the plan shows a BroadcastHashJoin LeftAnti, and a
+       60k-row degenerate bucket at cap 1000 yields zero edges (the guard
+       is opt-in because its broadcast subtree re-runs the explode+agg
+       chain — a measured constant cost per run, vs one bounded-memory
+       external-sort straggler only when degeneracy actually exists);
+    2. a hot bucket exactly AT the cap boundary (the worst KEPT case) is
+       still correct: the whole cluster collapses to its min doc_seq, and
+       the join's per-key reducer rows are bounded by the cap outright."""
+    from dataflow_spark.operators import dedup
+
+    n_hot, n_normal = 60_000, 1_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_seq"),
+        F.expr("transform(sequence(0, 49), j -> cast(j * 7 as int))").alias("tokens"),
+    )
+    normal = spark.range(n_normal).select(
+        (F.col("id") + 1_000_000).alias("doc_seq"),
+        F.expr(
+            "transform(sequence(0, 49), j -> cast((id * 131 + j * 17 + id) % 50021 as int))"
+        ).alias("tokens"),
+    )
+    corpus = hot.unionByName(normal).localCheckpoint(eager=True)
+    bands_expr = dedup.minhash_bands_from_tokens_udf(64, 8, 3)(F.col("tokens"))
+
+    # (1) dropped bucket: anti-join is broadcast, no edges from the hot key
+    edges_dropped = dedup.minhash_candidate_edges(
+        corpus, None, "doc_seq", 64, 8, 1,
+        bucket_cap=1_000, bands_expr=bands_expr, materialize=False,
+        drop_oversized_early=True,
+    )
+    plan = plan_text(edges_dropped)
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan[:3000]
+    hot_edges = edges_dropped.where(F.col("a") < n_hot).count()
+    assert hot_edges == 0  # degenerate rows never reach the pairing join
+
+    # (2) at-cap bucket (kept): cluster collapses to min seq end to end
+    out = dedup.minhash_dedup(
+        corpus.withColumn("doc_id", F.col("doc_seq").cast("string"))
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("source", F.lit("s")),
+        use_tokens=True, num_perm=64, bands=8, bucket_cap=n_hot,
+    )
+    survivors = out.where(F.col("doc_seq") < n_hot).count()
+    assert survivors == 1
+    assert out.where(F.col("doc_seq") == 0).count() == 1
