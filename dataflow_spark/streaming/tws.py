@@ -38,6 +38,15 @@ identical survivors to the batch ``dedup.exact_dedup`` and the
 Requires the RocksDB state-store provider (a hard transformWithState
 requirement); ``streaming_exact_dedup_tws`` checks the session conf and
 raises actionable guidance instead of Spark's planner error.
+
+Round 4: the protobuf runtime gate was re-verified (no runtime, wheel or
+conda package anywhere on the image; pip index unreachable), so the SAME
+delta-log/generation design now also ships on an API that runs today —
+``streaming/indexed.py`` manages the segments as batch-versioned parquet
+in foreachBatch (O(new) writes, pruned bounded reads, offline compaction
++ expiry), with stream==batch parity and kill/resume pytest-driven.  This
+module remains the in-engine ideal once protobuf is available: state
+lives in the checkpoint-consistent store, not an app-managed table.
 """
 
 from __future__ import annotations

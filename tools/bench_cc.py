@@ -54,7 +54,9 @@ def main():
         )
         chk = labels.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("node", "component")).alias("h"),
+            # order-independent, overflow-free label checksum (node,component
+            # pairs are unique, so xor never self-cancels a duplicate)
+            F.expr("bit_xor(xxhash64(node, component))").alias("h"),
             F.sum((F.col("node") != F.col("component")).cast("long")).alias(
                 "losers"
             ),
