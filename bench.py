@@ -296,6 +296,35 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
             total_tokens / timings["stream_pipeline_builtin"], 1
         )
 
+    # round-4 O(batch)-state-IO path: exact dedup over the generation-
+    # segment parquet index (streaming/indexed.py — the tws.py delta-log
+    # design on foreachBatch).  Dedup-only (no filter chain), so the
+    # tok/s is comparable to the dedup stage of the pipelines above, not
+    # to their full chains.
+    def stream_pipeline_indexed():
+        import tempfile
+
+        from dataflow_spark.streaming.indexed import (
+            run_exact_dedup_stream_indexed,
+        )
+
+        with tempfile.TemporaryDirectory() as tmp:
+            q = run_exact_dedup_stream_indexed(
+                spark,
+                corpus_dir,
+                os.path.join(tmp, "out"),
+                os.path.join(tmp, "ckpt"),
+                max_files_per_trigger=64,
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    bench("stream_pipeline_indexed", stream_pipeline_indexed)
+    if "stream_pipeline_indexed" in timings:
+        extras["stream_indexed_tokens_per_sec"] = round(
+            total_tokens / timings["stream_pipeline_indexed"], 1
+        )
+
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     bench(
         "window_agg",

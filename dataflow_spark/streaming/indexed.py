@@ -99,6 +99,11 @@ def run_exact_dedup_stream_indexed(
     metrics_path = os.path.join(out_dir, "_metrics.jsonl")
     rows_sink = idempotent_parquet_sink(out_dir, metrics_path=metrics_path)
     pfx_shift = 64 - summary_prefix_bits
+    # driver-side memo of sealed generations' prefix sets: summaries are
+    # KB-scale and immutable once sealed, so each is read from disk at most
+    # once per query lifetime (cold after restart, warm within a run) —
+    # without this, batch N re-reads all N-1 summaries every trigger
+    summary_cache: dict[int, set] = {}
 
     def sink(df: DataFrame, batch_id: int):
         from dataflow_spark.operators.dedup import exact_dedup
@@ -117,12 +122,17 @@ def run_exact_dedup_stream_indexed(
                 cur_buckets = sorted({int(r["k"]) for r in cur})
                 candidates = []
                 for b in prior:
-                    sdir = os.path.join(summary_dir, f"batch_id={b}")
-                    if os.path.exists(os.path.join(sdir, "_SUCCESS")):
-                        pfx = {r["p"] for r in spark.read.parquet(sdir).collect()}
-                        if pfx & cur_pfx:
-                            candidates.append(b)
-                    else:  # crash between segment+summary writes: scan it
+                    pfx = summary_cache.get(b)
+                    if pfx is None:
+                        sdir = os.path.join(summary_dir, f"batch_id={b}")
+                        if os.path.exists(os.path.join(sdir, "_SUCCESS")):
+                            pfx = {
+                                r["p"] for r in spark.read.parquet(sdir).collect()
+                            }
+                            summary_cache[b] = pfx
+                    if pfx is None:  # crash between segment+summary: scan it
+                        candidates.append(b)
+                    elif pfx & cur_pfx:
                         candidates.append(b)
                 if candidates and cur_buckets:
                     paths = [
@@ -148,9 +158,12 @@ def run_exact_dedup_stream_indexed(
             sb_dir = os.path.join(state_dir, f"batch_id={batch_id}")
             sm_dir = os.path.join(summary_dir, f"batch_id={batch_id}")
             if not os.path.exists(os.path.join(sb_dir, "_SUCCESS")):
+                # repartition ON bucket before partitionBy: otherwise every
+                # task writes a file into every bucket dir (tasks × buckets
+                # tiny files per generation — measured 5x batch overhead)
                 new_hashes = survivors.select(
                     "_th", F.pmod("_th", F.lit(n_state_buckets)).alias("bucket")
-                ).persist()
+                ).repartition(min(n_state_buckets, 16), "bucket").persist()
                 _sink_writer(new_hashes).partitionBy("bucket").parquet(sb_dir)
                 if not os.path.exists(os.path.join(sm_dir, "_SUCCESS")):
                     _sink_writer(
