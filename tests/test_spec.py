@@ -125,3 +125,19 @@ def test_spec_cli_validate_only(tmp_path, capsys, spark):
          str(tmp_path / "out"), "--validate-only"]
     )
     assert "validates" in capsys.readouterr().out
+
+
+def test_code_spec_matches_composed_pipeline(spark):
+    """specs/code_pt_filter.yaml (the reference code_pt chain as a spec)
+    keeps exactly the rows the hand-composed pipeline_code_pt_reference
+    expression keeps, on the same synthetic code corpus."""
+    import __spark_entry__ as m
+    from dataflow_spark.core.spec import run_spec
+
+    sf = "/root/testdata/sf0.001"
+    composed = {
+        r.doc_id for r in m.pipeline_code_pt_reference(spark, sf).collect()
+    }
+    d = m._code_docs(spark, sf)
+    got = {r.doc_id for r in run_spec(d, "specs/code_pt_filter.yaml").collect()}
+    assert got == composed and len(got) > 0
