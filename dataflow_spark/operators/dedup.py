@@ -347,15 +347,18 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
     stats, so estimates restart from the default size.  Falls back to the
     plain checkpoint if the (stable-in-practice, private[sql]) JVM hook is
     unavailable."""
-    jdf = df._jdf.localCheckpoint(True)
     try:
+        jdf = df._jdf.localCheckpoint(True)
         jspark = df.sparkSession._jsparkSession
         new_jdf = jspark.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(new_jdf, df.sparkSession)
     except Exception:
-        return DataFrame(jdf, df.sparkSession)
+        # no JVM-backed DataFrame (e.g. Spark Connect) or hook changed:
+        # plain eager checkpoint still truncates lineage, just without the
+        # stats reset
+        return df.localCheckpoint(eager=True)
 
 
 def connected_components_min(

@@ -477,15 +477,16 @@ def text2sql_prompt(
     ``mapInPandas`` stage over ``distinct(db_id)`` calling
     ``sqlite_db_details`` per partition, then the same broadcast join."""
     cap = max_distinct_db_ids
-    probe = df.select(db_id_key).distinct().limit(cap + 1).count()
-    if probe > cap:
+    # one distinct job, cap applied to the collect itself (ADVICE r4 #4)
+    rows = df.select(db_id_key).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
         raise ValueError(
             f"text2sql_prompt: > {cap} distinct {db_id_key!r} values — "
             "driver-side introspection is for catalog-sized db registries; "
             "raise max_distinct_db_ids or introspect executor-side via "
             "mapInPandas over the distinct db_ids (see docstring)"
         )
-    distinct_ids = [r[0] for r in df.select(db_id_key).distinct().collect()]
+    distinct_ids = [r[0] for r in rows]
     details = []
     missing = []
     for db_id in distinct_ids:

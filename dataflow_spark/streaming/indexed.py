@@ -82,6 +82,77 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _compaction_paths(state_dir: str, summary_dir: str, base: int):
+    return (
+        os.path.join(state_dir, f"_compact_manifest_{base}.json"),
+        os.path.join(state_dir, f"_compact_tmp_{base}"),
+        os.path.join(summary_dir, f"_compact_tmp_{base}"),
+    )
+
+
+def _finish_compaction(state_dir: str, summary_dir: str, base: int) -> None:
+    """Idempotent completion of a committed compaction (both tmp dirs carry
+    ``_SUCCESS``).  Order is the crash-safety contract (ADVICE r4 #1): the
+    merged tmp segment is never deleted until it has been renamed into
+    place, and the BASE SUMMARY is removed before the base segment is
+    replaced — a missing summary is safe (probe falls back to scanning the
+    generation) whereas a stale one would wrongly prune it."""
+    import shutil
+
+    manifest, tmp_seg, tmp_sum = _compaction_paths(state_dir, summary_dir, base)
+    with open(manifest) as fh:
+        merged_ids = json.load(fh)["merged"]
+    base_seg = os.path.join(state_dir, f"batch_id={base}")
+    base_sum = os.path.join(summary_dir, f"batch_id={base}")
+    for b in merged_ids:
+        sdir = os.path.join(summary_dir, f"batch_id={b}")
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir)  # includes base's summary — see docstring
+        if b != base:
+            seg = os.path.join(state_dir, f"batch_id={b}")
+            if os.path.isdir(seg):
+                shutil.rmtree(seg)
+    if os.path.isdir(tmp_seg):
+        if os.path.isdir(base_seg):
+            shutil.rmtree(base_seg)
+        os.rename(tmp_seg, base_seg)
+    if os.path.isdir(tmp_sum) and not os.path.isdir(base_sum):
+        os.rename(tmp_sum, base_sum)
+    os.remove(manifest)
+
+
+def recover_compaction(state_dir: str, summary_dir: str) -> str | None:
+    """Resolve a compaction interrupted by a crash.  A leftover manifest
+    whose tmp dirs are both sealed (``_SUCCESS``) is rolled FORWARD
+    (deletions may already have begun); anything less is rolled BACK by
+    discarding the tmps (no generation was touched before both tmps
+    committed).  Returns 'forward', 'back', or None.  Called automatically
+    by the stream runner and the maintenance entry points."""
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return None
+    for name in os.listdir(state_dir):
+        if not name.startswith("_compact_manifest_"):
+            continue
+        base = int(name.rsplit("_", 1)[1].removesuffix(".json"))
+        manifest, tmp_seg, tmp_sum = _compaction_paths(
+            state_dir, summary_dir, base
+        )
+        committed = os.path.exists(
+            os.path.join(tmp_seg, "_SUCCESS")
+        ) and os.path.exists(os.path.join(tmp_sum, "_SUCCESS"))
+        if committed:
+            _finish_compaction(state_dir, summary_dir, base)
+            return "forward"
+        for p in (tmp_seg, tmp_sum):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        os.remove(manifest)
+        return "back"
+    return None
+
+
 def run_exact_dedup_stream_indexed(
     spark: SparkSession,
     corpus_dir: str,
@@ -96,6 +167,7 @@ def run_exact_dedup_stream_indexed(
     (token-array equality) exactly-once under ``out_dir/batch_id=N``."""
     state_dir = os.path.join(out_dir, SEEN_STATE_DIRNAME)
     summary_dir = os.path.join(out_dir, SEEN_SUMMARY_DIRNAME)
+    recover_compaction(state_dir, summary_dir)
     metrics_path = os.path.join(out_dir, "_metrics.jsonl")
     rows_sink = idempotent_parquet_sink(out_dir, metrics_path=metrics_path)
     pfx_shift = 64 - summary_prefix_bits
@@ -157,6 +229,7 @@ def run_exact_dedup_stream_indexed(
             survivors = exact_dedup(fresh, hash_col="_th").persist()
             sb_dir = os.path.join(state_dir, f"batch_id={batch_id}")
             sm_dir = os.path.join(summary_dir, f"batch_id={batch_id}")
+            new_hashes = None
             if not os.path.exists(os.path.join(sb_dir, "_SUCCESS")):
                 # repartition ON bucket before partitionBy: otherwise every
                 # task writes a file into every bucket dir (tasks × buckets
@@ -165,12 +238,23 @@ def run_exact_dedup_stream_indexed(
                     "_th", F.pmod("_th", F.lit(n_state_buckets)).alias("bucket")
                 ).repartition(min(n_state_buckets, 16), "bucket").persist()
                 _sink_writer(new_hashes).partitionBy("bucket").parquet(sb_dir)
-                if not os.path.exists(os.path.join(sm_dir, "_SUCCESS")):
-                    _sink_writer(
-                        new_hashes.select(
-                            F.shiftright("_th", pfx_shift).alias("p")
-                        ).distinct().coalesce(1)
-                    ).parquet(sm_dir)
+            # summary check is INDEPENDENT of the segment guard (ADVICE r4
+            # #2): a crash after the segment sealed but before the summary
+            # wrote must not leave the generation permanently summary-less
+            # (every future batch would scan it) — a replayed batch backfills
+            # the summary from the sealed segment here
+            if not os.path.exists(os.path.join(sm_dir, "_SUCCESS")):
+                src = (
+                    new_hashes
+                    if new_hashes is not None
+                    else spark.read.parquet(sb_dir)
+                )
+                _sink_writer(
+                    src.select(
+                        F.shiftright("_th", pfx_shift).alias("p")
+                    ).distinct().coalesce(1)
+                ).parquet(sm_dir)
+            if new_hashes is not None:
                 new_hashes.unpersist()
             if not os.path.exists(
                 os.path.join(out_dir, f"batch_id={batch_id}", "_SUCCESS")
@@ -207,11 +291,18 @@ def compact_seen_index(
     while the stream is STOPPED (table maintenance).  Returns the number of
     generations merged away.  Probe results are unchanged: the merged
     segment holds exactly the union of the merged hash sets, and its
-    summary the union of prefixes."""
-    import shutil
+    summary the union of prefixes.
 
+    Crash-safe swap (ADVICE r4 #1): a manifest names the generations being
+    merged, both tmp dirs are fully written (``_SUCCESS``) BEFORE any old
+    generation is touched, and the swap itself (`_finish_compaction`) only
+    deletes a superseded generation once the merged union is durable —
+    at every crash point the seen-set is recoverable, and
+    ``recover_compaction`` (run automatically at stream start) rolls an
+    interrupted swap forward or an uncommitted one back."""
     state_dir = os.path.join(out_dir, SEEN_STATE_DIRNAME)
     summary_dir = os.path.join(out_dir, SEEN_SUMMARY_DIRNAME)
+    recover_compaction(state_dir, summary_dir)
     sealed = _list_sealed_batches(state_dir)
     if len(sealed) < 2:
         return 0
@@ -225,22 +316,16 @@ def compact_seen_index(
         .sortWithinPartitions("_th")
         .persist()
     )
-    tmp_seg = os.path.join(state_dir, f"_compact_tmp_{base}")
-    tmp_sum = os.path.join(summary_dir, f"_compact_tmp_{base}")
+    manifest, tmp_seg, tmp_sum = _compaction_paths(state_dir, summary_dir, base)
+    with open(manifest, "w") as fh:
+        json.dump({"merged": sealed}, fh)
     _sink_writer(merged).partitionBy("bucket").parquet(tmp_seg)
     _sink_writer(
         merged.select(F.shiftright("_th", pfx_shift).alias("p"))
         .distinct().coalesce(1)
     ).parquet(tmp_sum)
     merged.unpersist()
-    # swap in: remove old generations, rename tmp to the base generation
-    for b in sealed:
-        shutil.rmtree(os.path.join(state_dir, f"batch_id={b}"))
-        sdir = os.path.join(summary_dir, f"batch_id={b}")
-        if os.path.isdir(sdir):
-            shutil.rmtree(sdir)
-    os.rename(tmp_seg, os.path.join(state_dir, f"batch_id={base}"))
-    os.rename(tmp_sum, os.path.join(summary_dir, f"batch_id={base}"))
+    _finish_compaction(state_dir, summary_dir, base)
     return len(sealed) - 1
 
 
@@ -254,6 +339,7 @@ def expire_seen_index(out_dir: str, keep_from_batch: int) -> int:
     dropped = 0
     state_dir = os.path.join(out_dir, SEEN_STATE_DIRNAME)
     summary_dir = os.path.join(out_dir, SEEN_SUMMARY_DIRNAME)
+    recover_compaction(state_dir, summary_dir)
     for b in _list_sealed_batches(state_dir):
         if b < keep_from_batch:
             shutil.rmtree(os.path.join(state_dir, f"batch_id={b}"))

@@ -171,3 +171,126 @@ def test_indexed_dedup_compact_and_expire(spark, tmp_path):
     q3.stop()
     got = sorted(r.doc_seq for r in spark.read.parquet(out_dir).select("doc_seq").collect())
     assert got == [1, 2, 21]
+
+
+def _run_two_generations(spark, tmp_path):
+    corpus_dir, out_dir, ckpt = (
+        str(tmp_path / "c"), str(tmp_path / "o"), str(tmp_path / "k"),
+    )
+    a, b = list(range(100, 150)), list(range(500, 550))
+    write_file(spark, make_rows([(1, a, "cc", 0)]), corpus_dir)
+    write_file(spark, make_rows([(2, b, "web", 30)]), corpus_dir)
+    q = run_exact_dedup_stream_indexed(spark, corpus_dir, out_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return corpus_dir, out_dir, ckpt, a, b
+
+
+def test_compaction_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """ADVICE r4 #1: a crash AFTER the merged tmp segment commits but
+    mid-swap (old generations partially deleted) must not lose the seen
+    state — recovery rolls the committed compaction forward and every
+    pre-compaction dup is still dropped."""
+    import shutil
+
+    from dataflow_spark.streaming import indexed
+
+    corpus_dir, out_dir, ckpt, a, b = _run_two_generations(spark, tmp_path)
+    state_dir = os.path.join(out_dir, SEEN_STATE_DIRNAME)
+    summary_dir = os.path.join(out_dir, indexed.SEEN_SUMMARY_DIRNAME)
+
+    def crash_mid_swap(sd, smd, base):
+        # simulate the worst pre-fix window: one superseded generation and
+        # the base summary already deleted, then the process dies
+        gens = sorted(
+            d for d in os.listdir(sd) if d.startswith("batch_id=")
+        )
+        shutil.rmtree(os.path.join(sd, gens[-1]))
+        bs = os.path.join(smd, f"batch_id={base}")
+        if os.path.isdir(bs):
+            shutil.rmtree(bs)
+        raise RuntimeError("simulated crash mid-compaction-swap")
+
+    monkeypatch.setattr(indexed, "_finish_compaction", crash_mid_swap)
+    try:
+        compact_seen_index(spark, out_dir)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # manifest + committed tmps left behind -> next stream start recovers
+    assert any(
+        n.startswith("_compact_manifest_") for n in os.listdir(state_dir)
+    )
+    assert indexed.recover_compaction(state_dir, summary_dir) == "forward"
+    gens = [d for d in os.listdir(state_dir) if d.startswith("batch_id=")]
+    assert len(gens) == 1
+    assert not any(
+        n.startswith("_compact") for n in os.listdir(state_dir)
+    )
+
+    # dedup history intact: dups of BOTH original batches still dropped
+    write_file(spark, make_rows([(11, a, "cc", 60), (12, b, "web", 61)]), corpus_dir)
+    q2 = run_exact_dedup_stream_indexed(spark, corpus_dir, out_dir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(
+        r.doc_seq for r in spark.read.parquet(out_dir).select("doc_seq").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_compaction_crash_rolls_back(spark, tmp_path):
+    """A crash BEFORE both tmp dirs commit (no generation touched yet) is
+    rolled back: tmps + manifest discarded, original generations intact."""
+    from dataflow_spark.streaming import indexed
+
+    corpus_dir, out_dir, ckpt, a, b = _run_two_generations(spark, tmp_path)
+    state_dir = os.path.join(out_dir, SEEN_STATE_DIRNAME)
+    summary_dir = os.path.join(out_dir, indexed.SEEN_SUMMARY_DIRNAME)
+    manifest, tmp_seg, _ = indexed._compaction_paths(state_dir, summary_dir, 0)
+    with open(manifest, "w") as fh:
+        json.dump({"merged": [0, 1]}, fh)
+    os.makedirs(tmp_seg)  # partial write: no _SUCCESS
+
+    assert indexed.recover_compaction(state_dir, summary_dir) == "back"
+    assert not os.path.exists(manifest) and not os.path.exists(tmp_seg)
+    gens = [d for d in os.listdir(state_dir) if d.startswith("batch_id=")]
+    assert len(gens) == 2
+
+    write_file(spark, make_rows([(11, a, "cc", 60), (12, b, "web", 61)]), corpus_dir)
+    q2 = run_exact_dedup_stream_indexed(spark, corpus_dir, out_dir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(
+        r.doc_seq for r in spark.read.parquet(out_dir).select("doc_seq").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_missing_summary_backfilled_on_replay(spark, tmp_path):
+    """ADVICE r4 #2: a generation whose segment sealed but whose prefix
+    summary never wrote (crash window) gets its summary BACKFILLED by a
+    later stream run instead of being scanned forever."""
+    import shutil
+
+    from dataflow_spark.streaming import indexed
+
+    corpus_dir, out_dir, ckpt, a, b = _run_two_generations(spark, tmp_path)
+    summary_dir = os.path.join(out_dir, indexed.SEEN_SUMMARY_DIRNAME)
+    victim = os.path.join(summary_dir, "batch_id=0")
+    assert os.path.exists(os.path.join(victim, "_SUCCESS"))
+    shutil.rmtree(victim)
+
+    # restart + replay batch 0 (fresh checkpoint forces reprocessing of the
+    # whole corpus; output replay is idempotent) -> summary reappears
+    q2 = run_exact_dedup_stream_indexed(
+        spark, corpus_dir, out_dir, str(tmp_path / "k2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert os.path.exists(os.path.join(victim, "_SUCCESS"))
+    got = sorted(
+        r.doc_seq for r in spark.read.parquet(out_dir).select("doc_seq").collect()
+    )
+    assert got == [1, 2]
