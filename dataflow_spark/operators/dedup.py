@@ -879,10 +879,23 @@ def minhash_candidate_edges(
         # (verified in PLANS.md; the outer variant is exempt from that
         # inference).  Cost: one null row per empty doc instead of a full
         # second UDF pass.
-        banded = sig.select(
-            "_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
-        ).where(F.col("band_id").isNotNull())
-        roots = banded.groupBy("band_id", "band_hash").agg(
+        # pack the (band_id, band_hash) bucket identity into ONE 64-bit key
+        # before the shuffle (round-5, VERDICT r4 #1): the agg and join then
+        # shuffle/hash/compare a single long instead of an (int, long) pair
+        # — fewer key bytes per banded row across the two largest exchanges
+        # and single-column comparisons in both operators.  xxhash64 keeps
+        # the full 64-bit collision space (a truncation to 32 bits would
+        # birthday-collide at ~10^5 docs/band and manufacture false
+        # candidate edges between unrelated docs); survivors are unchanged
+        # modulo 2^-64-scale key collisions.
+        banded = (
+            sig.select(
+                "_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
+            )
+            .where(F.col("band_id").isNotNull())
+            .select("_seq", F.xxhash64("band_id", "band_hash").alias("_bkey"))
+        )
+        roots = banded.groupBy("_bkey").agg(
             F.min("_seq").alias("_root"), F.count("*").alias("_n")
         )
         # Degenerate-bucket reducer pile-up (round-4 measurement, NOTES.md):
@@ -907,16 +920,14 @@ def minhash_candidate_edges(
         # show them.
         paired = banded
         if drop_oversized_early:
-            dropped_keys = roots.where(F.col("_n") > bucket_cap).select(
-                "band_id", "band_hash"
-            )
+            dropped_keys = roots.where(F.col("_n") > bucket_cap).select("_bkey")
             paired = banded.join(
-                F.broadcast(dropped_keys), ["band_id", "band_hash"], "left_anti"
+                F.broadcast(dropped_keys), ["_bkey"], "left_anti"
             )
         edges = (
             paired.join(
                 roots.where(F.col("_n") <= bucket_cap),
-                ["band_id", "band_hash"],
+                ["_bkey"],
             )
             .where(F.col("_seq") != F.col("_root"))
             .select(F.col("_seq").alias("a"), F.col("_root").alias("b"))

@@ -141,3 +141,85 @@ def test_code_spec_matches_composed_pipeline(spark):
     d = m._code_docs(spark, sf)
     got = {r.doc_id for r in run_spec(d, "specs/code_pt_filter.yaml").collect()}
     assert got == composed and len(got) > 0
+
+
+def test_stream_spec_matches_batch(spark, tmp_path):
+    """specs/stream_exact_dedup.yaml (round-5 streaming spec surface):
+    the spec-launched stream produces the same survivor set as the batch
+    chain (exact dedup by token hash + the same registry filters), with
+    in-batch AND cross-batch dups dropped and the filter chain applied."""
+    from dataflow_spark.core.spec import load_spec, run_stream_spec
+    from tests.test_streaming import make_rows, write_file
+
+    corpus_dir, out_dir, ckpt = (
+        str(tmp_path / "c"), str(tmp_path / "o"), str(tmp_path / "k"),
+    )
+    a, b, c = list(range(100, 140)), list(range(500, 540)), list(range(900, 940))
+    write_file(spark, make_rows([(1, a, "cc", 0), (2, a, "cc", 1)]), corpus_dir)
+    write_file(spark, make_rows([(11, a, "cc", 30), (12, b, "web", 31)]), corpus_dir)
+    # (31, []) survives dedup but dies in the WordNumberFilter stage —
+    # proves the post-dedup operator chain actually runs on the stream
+    write_file(
+        spark,
+        make_rows([(21, b, "web", 60), (22, c, "book", 61), (31, [], "cc", 62)]),
+        corpus_dir,
+    )
+
+    q = run_stream_spec(
+        spark, load_spec("specs/stream_exact_dedup.yaml"),
+        corpus_dir, out_dir, ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r._th for r in spark.read.parquet(out_dir)
+        .select(F.xxhash64("tokens").alias("_th")).collect()
+    }
+    # batch equivalent: exact dedup by token hash + the same registry chain
+    from dataflow_spark.core.stage import get_operator
+    from dataflow_spark.operators.dedup import exact_dedup
+
+    batch = exact_dedup(
+        spark.read.parquet(corpus_dir).withColumn("_th", F.xxhash64("tokens")),
+        hash_col="_th",
+    )
+    batch = get_operator("ContentNullFilter", input_key="text").apply(batch)
+    batch = get_operator(
+        "WordNumberFilter", input_key="text", min_words=1, max_words=100000
+    ).apply(batch)
+    want = {r._th for r in batch.select("_th").collect()}
+    assert got == want
+    assert spark.read.parquet(out_dir).count() == 3  # empty-token row filtered
+
+
+def test_stream_spec_indexed_tier_and_rejections(spark, tmp_path):
+    """The indexed tier delegates to the generation-segment operator; a
+    spec combining it with stages is rejected, as is an unknown tier."""
+    import pytest as _pytest
+
+    from dataflow_spark.core.spec import run_stream_spec
+    from tests.test_streaming import make_rows, write_file
+
+    corpus_dir = str(tmp_path / "c")
+    write_file(spark, make_rows([(1, [1, 2, 3], "cc", 0)]), corpus_dir)
+
+    with _pytest.raises(ValueError, match="owns its sink"):
+        run_stream_spec(
+            spark,
+            {"stream": {"dedup": "indexed"},
+             "stages": [{"operator": "ContentNullFilter"}]},
+            corpus_dir, str(tmp_path / "o1"), str(tmp_path / "k1"),
+        )
+    with _pytest.raises(ValueError, match="'custom', 'builtin'"):
+        run_stream_spec(
+            spark, {"stream": {"dedup": "nope"}},
+            corpus_dir, str(tmp_path / "o2"), str(tmp_path / "k2"),
+        )
+    q = run_stream_spec(
+        spark, {"stream": {"dedup": "indexed"}},
+        corpus_dir, str(tmp_path / "o3"), str(tmp_path / "k3"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(tmp_path / "o3")).count() == 1
