@@ -339,7 +339,8 @@ def test_prompt_date_type_case_sensitive(spark, tmp_path):
 def test_prompt_db_id_explosion_fails_fast(spark, tmp_path):
     """Registry-explosion guard: a 10^6-distinct-db_id input must fail fast
     (one LIMIT-capped probe job, no unbounded driver collect, no sqlite
-    work) with the mapInPandas pointer in the message."""
+    work).  Since round 5 the introspection itself is executor-side; the
+    cap now bounds the broadcast (db_id -> details) map."""
     import pytest as _pytest
 
     from dataflow_spark.operators.text2sql import text2sql_prompt
@@ -351,5 +352,5 @@ def test_prompt_db_id_explosion_fails_fast(spark, tmp_path):
         F.concat(F.lit("db_"), F.col("id").cast("string")).alias("db_id"),
         F.lit("q?").alias("question"),
     )
-    with _pytest.raises(ValueError, match="mapInPandas"):
+    with _pytest.raises(ValueError, match="broadcast-sized"):
         text2sql_prompt(big, str(root), max_distinct_db_ids=1000)
