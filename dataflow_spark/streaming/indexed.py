@@ -82,6 +82,52 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _index_meta(
+    state_dir: str, n_state_buckets: int, summary_prefix_bits: int
+) -> tuple[int, int]:
+    """Pin the index geometry (bucket count, summary prefix bits) to the
+    index itself: segments are bucketed by ``pmod(_th, n)`` at WRITE time,
+    so a resume or compaction run with a different ``n`` would prune the
+    wrong buckets and silently miss duplicates.  First writer records the
+    geometry; every later entry point reads and uses the recorded values
+    (the caller's arguments are a default, not an override)."""
+    path = os.path.join(state_dir, "_index_meta.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            m = json.load(fh)
+        return int(m["n_state_buckets"]), int(m["summary_prefix_bits"])
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "n_state_buckets": n_state_buckets,
+                "summary_prefix_bits": summary_prefix_bits,
+            },
+            fh,
+        )
+    os.rename(tmp, path)
+    return n_state_buckets, summary_prefix_bits
+
+
+def _write_summary_driver_side(sm_dir: str, prefixes: list[int]) -> None:
+    """Seal a generation's prefix summary from driver-held prefixes (one
+    pyarrow write, no Spark job — summaries are KB-scale by construction).
+    The data file lands before the ``_SUCCESS`` marker, so a crash mid-write
+    reads as 'missing summary' (scan fallback + later backfill), never as a
+    truncated one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(sm_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"p": pa.array(prefixes, type=pa.int64())}),
+        os.path.join(sm_dir, "part-00000-summary.parquet"),
+    )
+    with open(os.path.join(sm_dir, "_SUCCESS"), "w"):
+        pass
+
+
 def _compaction_paths(state_dir: str, summary_dir: str, base: int):
     return (
         os.path.join(state_dir, f"_compact_manifest_{base}.json"),
@@ -159,15 +205,30 @@ def run_exact_dedup_stream_indexed(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
-    n_state_buckets: int = 64,
+    n_state_buckets: int = 16,
     summary_prefix_bits: int = 20,
 ):
     """First-seen exact dedup over the stream with the generation-segment
     index described in the module docstring.  Emits FULL survivor rows
-    (token-array equality) exactly-once under ``out_dir/batch_id=N``."""
+    (token-array equality) exactly-once under ``out_dir/batch_id=N``.
+
+    ``n_state_buckets`` trades probe read granularity (what fraction of a
+    scanned generation — chiefly the big compacted base at long horizons —
+    one batch must read) against per-generation file count and write/walk
+    overhead; the O(overlap) READ bound comes from the prefix summaries,
+    not the bucket fan-out, so the default stays small (16; round-5
+    measurement: 64 buckets cost ~25% of the whole bench wall in file
+    creation + dir walks at bench trigger sizes).  Raise it for horizons
+    where the compacted base is much larger than a trigger.  The geometry
+    is recorded in ``_index_meta.json`` on first write and re-read on
+    every resume/compaction — later calls cannot diverge from the layout
+    the segments were written with."""
     state_dir = os.path.join(out_dir, SEEN_STATE_DIRNAME)
     summary_dir = os.path.join(out_dir, SEEN_SUMMARY_DIRNAME)
     recover_compaction(state_dir, summary_dir)
+    n_state_buckets, summary_prefix_bits = _index_meta(
+        state_dir, n_state_buckets, summary_prefix_bits
+    )
     metrics_path = os.path.join(out_dir, "_metrics.jsonl")
     rows_sink = idempotent_parquet_sink(out_dir, metrics_path=metrics_path)
     pfx_shift = 64 - summary_prefix_bits
@@ -176,31 +237,65 @@ def run_exact_dedup_stream_indexed(
     # once per query lifetime (cold after restart, warm within a run) —
     # without this, batch N re-reads all N-1 summaries every trigger
     summary_cache: dict[int, set] = {}
+    # sealed bucket dirs are immutable — size each at most once per run
+    dir_bytes_cache: dict[str, int] = {}
+
+    def _cached_dir_bytes(path: str) -> int:
+        v = dir_bytes_cache.get(path)
+        if v is None:
+            v = _dir_bytes(path)
+            dir_bytes_cache[path] = v
+        return v
 
     def sink(df: DataFrame, batch_id: int):
+        import time
+
         from dataflow_spark.operators.dedup import exact_dedup
+
+        phases: dict[str, float] = {}
+
+        def _mark(name: str, t0: float) -> float:
+            t1 = time.monotonic()
+            phases[name] = round(t1 - t0, 3)
+            return t1
 
         tagged = df.withColumn("_th", F.xxhash64(F.col("tokens"))).persist()
         try:
+            t = time.monotonic()
             prior = _list_sealed_batches(state_dir, upto=batch_id)
             bytes_read, scanned = 0, []
             fresh = tagged
+            # the batch's distinct (prefix, bucket) pairs drive BOTH the
+            # probe pruning and (since round 5) this generation's prefix
+            # summary — one small job over the persisted batch
+            cur = tagged.select(
+                F.shiftright("_th", pfx_shift).alias("p"),
+                F.pmod("_th", F.lit(n_state_buckets)).alias("k"),
+            ).distinct().collect()
+            cur_pfx = {r["p"] for r in cur}
+            cur_buckets = sorted({int(r["k"]) for r in cur})
+            t = _mark("probe_collect_s", t)
             if prior:
-                cur = tagged.select(
-                    F.shiftright("_th", pfx_shift).alias("p"),
-                    F.pmod("_th", F.lit(n_state_buckets)).alias("k"),
-                ).distinct().collect()
-                cur_pfx = {r["p"] for r in cur}
-                cur_buckets = sorted({int(r["k"]) for r in cur})
                 candidates = []
                 for b in prior:
                     pfx = summary_cache.get(b)
                     if pfx is None:
                         sdir = os.path.join(summary_dir, f"batch_id={b}")
                         if os.path.exists(os.path.join(sdir, "_SUCCESS")):
-                            pfx = {
-                                r["p"] for r in spark.read.parquet(sdir).collect()
-                            }
+                            # KB-scale immutable file: read driver-side with
+                            # pyarrow (~ms) instead of a Spark collect job
+                            # (~0.3-0.5 s of pure scheduling per cold read)
+                            import pyarrow.parquet as pq
+
+                            pfx = set()
+                            for fname in os.listdir(sdir):
+                                if fname.endswith(".parquet"):
+                                    pfx.update(
+                                        pq.read_table(
+                                            os.path.join(sdir, fname),
+                                            columns=["p"],
+                                        ).column("p").to_pylist()
+                                    )
                             summary_cache[b] = pfx
                     if pfx is None:  # crash between segment+summary: scan it
                         candidates.append(b)
@@ -210,55 +305,101 @@ def run_exact_dedup_stream_indexed(
                     paths = [
                         os.path.join(state_dir, f"batch_id={b}") for b in candidates
                     ]
+                    # explicit schema: parquet schema inference on a
+                    # multi-generation path list costs a per-batch footer-
+                    # sampling pass on the driver (measured ~0.3-0.5 s)
                     seen = (
                         spark.read.option("basePath", state_dir)
+                        .schema("_th BIGINT, bucket INT")
                         .parquet(*paths)
                         .where(F.col("bucket").isin(cur_buckets))
                         .select("_th")
                     )
                     fresh = tagged.join(seen, "_th", "left_anti")
                     bytes_read = sum(
-                        _dir_bytes(os.path.join(p, f"bucket={k}"))
+                        _cached_dir_bytes(os.path.join(p, f"bucket={k}"))
                         for p in paths
                         for k in cur_buckets
                         if os.path.isdir(os.path.join(p, f"bucket={k}"))
                     )
                     scanned = candidates
+                t = _mark("summary_prune_s", t)
             # batch-local first-seen (min doc_seq per hash), the same
             # single-shuffle kernel as the batch operator
             survivors = exact_dedup(fresh, hash_col="_th").persist()
+            # materialize the dedup ONCE into the cache: the two writers
+            # below then run CONCURRENTLY against cached partitions (round
+            # 5 — serially they each paid scheduling + the second waited on
+            # the first; a cache-miss race would instead compute the plan
+            # twice)
+            survivors.count()
+            t = _mark("dedup_s", t)
             sb_dir = os.path.join(state_dir, f"batch_id={batch_id}")
             sm_dir = os.path.join(summary_dir, f"batch_id={batch_id}")
-            new_hashes = None
-            if not os.path.exists(os.path.join(sb_dir, "_SUCCESS")):
+
+            def _write_segment():
                 # repartition ON bucket before partitionBy: otherwise every
                 # task writes a file into every bucket dir (tasks × buckets
                 # tiny files per generation — measured 5x batch overhead)
                 new_hashes = survivors.select(
                     "_th", F.pmod("_th", F.lit(n_state_buckets)).alias("bucket")
-                ).repartition(min(n_state_buckets, 16), "bucket").persist()
+                ).repartition(min(n_state_buckets, 16), "bucket")
                 _sink_writer(new_hashes).partitionBy("bucket").parquet(sb_dir)
+
+            import threading
+
+            seg_err: list[BaseException] = []
+            seg_thread = None
+            if not os.path.exists(os.path.join(sb_dir, "_SUCCESS")):
+
+                def _seg_run():
+                    try:
+                        _write_segment()
+                    except BaseException as e:  # noqa: BLE001 - re-raised below
+                        seg_err.append(e)
+
+                seg_thread = threading.Thread(target=_seg_run, daemon=True)
+                seg_thread.start()
             # summary check is INDEPENDENT of the segment guard (ADVICE r4
             # #2): a crash after the segment sealed but before the summary
-            # wrote must not leave the generation permanently summary-less
-            # (every future batch would scan it) — a replayed batch backfills
-            # the summary from the sealed segment here
+            # wrote must not leave the generation permanently summary-less.
+            # The summary itself is written DRIVER-side from the already-
+            # collected batch prefixes (round 5): `cur_pfx` is a superset of
+            # the new-hash prefixes (dup rows' prefixes already live in
+            # older generations' summaries), so pruning stays exact and the
+            # per-batch summary Spark job disappears.  The rare backfill of
+            # a crash-orphaned PRIOR generation still derives from its
+            # sealed segment (whose prefix set we did not collect).
             if not os.path.exists(os.path.join(sm_dir, "_SUCCESS")):
-                src = (
-                    new_hashes
-                    if new_hashes is not None
-                    else spark.read.parquet(sb_dir)
-                )
-                _sink_writer(
-                    src.select(
-                        F.shiftright("_th", pfx_shift).alias("p")
-                    ).distinct().coalesce(1)
-                ).parquet(sm_dir)
-            if new_hashes is not None:
-                new_hashes.unpersist()
-            if not os.path.exists(
+                _write_summary_driver_side(sm_dir, sorted(cur_pfx))
+                summary_cache[batch_id] = set(cur_pfx)
+                t = _mark("summary_write_s", t)
+            for b in prior:
+                bs = os.path.join(summary_dir, f"batch_id={b}")
+                if b not in summary_cache and not os.path.exists(
+                    os.path.join(bs, "_SUCCESS")
+                ) and os.path.exists(
+                    os.path.join(state_dir, f"batch_id={b}", "_SUCCESS")
+                ):
+                    _sink_writer(
+                        spark.read.parquet(
+                            os.path.join(state_dir, f"batch_id={b}")
+                        ).select(
+                            F.shiftright("_th", pfx_shift).alias("p")
+                        ).distinct().coalesce(1)
+                    ).parquet(bs)
+            fresh_output = not os.path.exists(
                 os.path.join(out_dir, f"batch_id={batch_id}", "_SUCCESS")
-            ):
+            )
+            rows_sink(survivors.drop("_th"), batch_id)
+            _mark("rows_sink_s", t)
+            if seg_thread is not None:
+                # the batch must not commit until the segment is durable
+                seg_thread.join()
+                if seg_err:
+                    raise seg_err[0]
+                _mark("segment_join_s", t)
+            if fresh_output:
                 with open(metrics_path, "a") as fh:
                     fh.write(json.dumps({
                         "batch_id": batch_id,
@@ -266,8 +407,8 @@ def run_exact_dedup_stream_indexed(
                         "state_bytes_read": bytes_read,
                         "state_batches_scanned": len(scanned),
                         "state_batches_total": len(prior),
+                        "phases": phases,
                     }) + "\n")
-            rows_sink(survivors.drop("_th"), batch_id)
             survivors.unpersist()
         finally:
             tagged.unpersist()
@@ -282,7 +423,7 @@ def run_exact_dedup_stream_indexed(
 
 
 def compact_seen_index(
-    spark: SparkSession, out_dir: str, n_state_buckets: int = 64,
+    spark: SparkSession, out_dir: str, n_state_buckets: int = 16,
     summary_prefix_bits: int = 20,
 ) -> int:
     """Offline compaction (tws.py ``compact_every`` analogue; Iceberg
@@ -303,6 +444,9 @@ def compact_seen_index(
     state_dir = os.path.join(out_dir, SEEN_STATE_DIRNAME)
     summary_dir = os.path.join(out_dir, SEEN_SUMMARY_DIRNAME)
     recover_compaction(state_dir, summary_dir)
+    n_state_buckets, summary_prefix_bits = _index_meta(
+        state_dir, n_state_buckets, summary_prefix_bits
+    )
     sealed = _list_sealed_batches(state_dir)
     if len(sealed) < 2:
         return 0

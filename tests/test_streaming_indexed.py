@@ -294,3 +294,32 @@ def test_missing_summary_backfilled_on_replay(spark, tmp_path):
         r.doc_seq for r in spark.read.parquet(out_dir).select("doc_seq").collect()
     )
     assert got == [1, 2]
+
+
+def test_index_geometry_pinned_across_resume(spark, tmp_path):
+    """Segments are bucketed by pmod(_th, n) at WRITE time, so a resume
+    with a different n_state_buckets would prune the wrong buckets and
+    re-emit dups.  _index_meta.json pins the geometry: the first writer
+    records it and later runs use the recorded value, so the dup below
+    is still dropped."""
+    corpus_dir, out_dir, ckpt = (
+        str(tmp_path / "c"), str(tmp_path / "o"), str(tmp_path / "k"),
+    )
+    a = list(range(100, 150))
+    write_file(spark, make_rows([(1, a, "cc", 0)]), corpus_dir)
+    q = run_exact_dedup_stream_indexed(
+        spark, corpus_dir, out_dir, ckpt, n_state_buckets=4
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    write_file(spark, make_rows([(11, a, "cc", 40)]), corpus_dir)
+    q2 = run_exact_dedup_stream_indexed(
+        spark, corpus_dir, out_dir, ckpt, n_state_buckets=32
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(
+        r.doc_seq for r in spark.read.parquet(out_dir).select("doc_seq").collect()
+    )
+    assert got == [1]
