@@ -244,6 +244,7 @@ def _cc_distributed_contract(
     max_iter: int | None = None,
     n_parts: int | None = None,
     _depth: int = 0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed CC by partition-local solve + edge contraction (VERDICT
     r3 task #1; the two-phase scheme behind CC-MR / Kiveris et al.'s
@@ -299,7 +300,7 @@ def _cc_distributed_contract(
 
     m = (
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
-        .repartition(n_parts, "a")
+        .repartitionByRange(n_parts, "a")
         .mapInPandas(solve, "node long, local_root long")
         .localCheckpoint(eager=True)  # reused: residual build + final map
     )
@@ -315,7 +316,7 @@ def _cc_distributed_contract(
     )
     roots = connected_components_min(
         residual, max_iter=max_iter, local_threshold=local_threshold,
-        _depth=_depth + 1,
+        _depth=_depth + 1, stats=stats,
     ).withColumnRenamed("node", "local_root")
     # every multi-root node's roots share one residual component, so the
     # min-agg only dedupes the per-partition copies (values are equal);
@@ -367,6 +368,7 @@ def connected_components_min(
     _materialized: bool = False,
     strategy: str = "auto",
     _depth: int = 0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Edges (a:long, b:long) -> (node:long, component:long) where component
     is the min node id reachable.  Strategies:
@@ -404,6 +406,13 @@ def connected_components_min(
     if local_threshold is None:
         local_threshold = cc_local_edge_threshold(edges.sparkSession)
     n_edges = edges.count()
+    if stats is not None:
+        # ladder observability (round 5): edge count and strategy at each
+        # recursion depth — depth>0 rows are the residual-graph sizes, the
+        # quantity the contraction design's "tiny residual" claim rests on
+        stats.setdefault("depths", []).append(
+            {"depth": _depth, "edges": int(n_edges)}
+        )
     # Depth-2 terminator: a residual still above local_threshold after two
     # contractions means an extremely chain-shaped graph (hash partitioning
     # barely merges consecutive links) — the vectorized driver solve is the
@@ -414,6 +423,11 @@ def connected_components_min(
         strategy == "auto" and _depth >= 2 and n_edges <= CC_FORCE_LOCAL_CAP
     )
     if n_edges <= local_threshold or force_local:
+        if stats is not None:
+            stats["depths"][-1]["strategy"] = (
+                "local_forced" if (force_local and n_edges > local_threshold)
+                else "local"
+            )
         pdf = edges.select(
             F.col("a").cast("long"), F.col("b").cast("long")
         ).toPandas()
@@ -427,10 +441,12 @@ def connected_components_min(
         return spark.createDataFrame(out)
     if strategy == "auto":
         strategy = "contract" if _depth < 2 else "iterative"
+    if stats is not None:
+        stats["depths"][-1]["strategy"] = strategy
     if strategy == "contract":
         return _cc_distributed_contract(
             edges, local_threshold=local_threshold, max_iter=max_iter,
-            _depth=_depth,
+            _depth=_depth, stats=stats,
         )
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (

@@ -416,3 +416,62 @@ def test_cc_iterative_late_merge_convergence(spark):
         dedup.connected_components_min(
             df, local_threshold=0, strategy="iterative", max_iter=2
         )
+
+
+def _numpy_labels(edges_pdf):
+    import numpy as np
+
+    nodes, lbl = dedup._cc_min_numpy(
+        edges_pdf["a"].to_numpy(np.int64), edges_pdf["b"].to_numpy(np.int64)
+    )
+    return dict(zip(nodes.tolist(), lbl.tolist()))
+
+
+def test_cc_chain_graph_contracts_via_range_partitioning(spark):
+    """Adversarial shape (VERDICT r4 #5): a single long CHAIN spanning
+    partitions.  Under hash partitioning the residual barely shrank
+    (measured: 500k-edge chain -> 484k residual at BOTH depths, all work
+    landing on the depth-2 terminator); range partitioning on `a`
+    colocates consecutive links, so the residual collapses to ~n_parts
+    edges in ONE contraction.  Pin the ladder shape and label parity."""
+    n = 60_000
+    edges = spark.range(n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    stats = {}
+    out = dedup.connected_components_min(
+        edges, local_threshold=2000, stats=stats
+    ).collect()
+    assert all(r.component == 0 for r in out) and len(out) == n + 1
+    depths = stats["depths"]
+    assert depths[0]["strategy"] == "contract"
+    # one contraction collapses the chain to the cross-partition links
+    assert depths[1]["edges"] < 1000, depths
+    assert depths[1]["strategy"] == "local"
+
+
+def test_cc_force_local_cap_never_truncates(spark, monkeypatch):
+    """The depth-2 terminator must never silently drop work: with the
+    force-local cap at 0 an expander residual that survives two
+    contractions falls through to the ITERATIVE path (correct, O(rounds))
+    instead of a truncated local solve — labels stay exactly right."""
+    import pandas as pd
+
+    n = 3000
+    edges = spark.range(2 * n).select(
+        F.pmod(F.col("id"), F.lit(n)).alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("b"),
+    ).where(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+    want = _numpy_labels(edges.toPandas())
+
+    monkeypatch.setattr(dedup, "CC_FORCE_LOCAL_CAP", 0)
+    stats = {}
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components_min(
+            edges, local_threshold=50, _materialized=True, stats=stats
+        ).collect()
+    }
+    assert got == want
+    deep = [d for d in stats["depths"] if d["depth"] >= 2]
+    assert deep and all(d["strategy"] == "iterative" for d in deep), stats
