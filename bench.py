@@ -201,10 +201,27 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
         import statistics
 
         hz = os.sysconf("SC_CLK_TCK")
+
+        def _reclaim():
+            # free leaked storage between samples: localCheckpoint blocks
+            # (contraction's `m`, the materialized edge sets) are only
+            # dropped when the ContextCleaner sees their RDDs GC'd, which
+            # under back-to-back heap-heavy runs in ONE JVM lags far enough
+            # behind that the 3rd r3200 minhash repeat at 8 cores OOMs
+            # (round-5 sweep failure).  A steady-state engine never holds
+            # blocks across runs, so reclaiming between samples measures
+            # the engine, not the bench harness's accumulation.
+            try:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+            except Exception:
+                pass
+
         for _ in range(warmup):
             fn()
         ts, st = [], []
         for _ in range(max(1, timed_runs)):
+            _reclaim()
             s0, t0 = _steal_jiffies(), time.time()
             fn()
             wall = time.time() - t0

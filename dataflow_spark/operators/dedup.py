@@ -834,6 +834,7 @@ def minhash_candidate_edges(
     bands_expr=None,
     materialize: bool = True,
     drop_oversized_early: bool = False,
+    pack_bucket_key: bool = True,
 ) -> DataFrame:
     """The distributed half of MinHash-LSH: signature -> banded buckets ->
     star edges (a, b), returned MATERIALIZED (eager localCheckpoint).
@@ -904,14 +905,21 @@ def minhash_candidate_edges(
         # birthday-collide at ~10^5 docs/band and manufacture false
         # candidate edges between unrelated docs); survivors are unchanged
         # modulo 2^-64-scale key collisions.
-        banded = (
-            sig.select(
-                "_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
+        exploded = sig.select(
+            "_seq", F.posexplode_outer("_bands").alias("band_id", "band_hash")
+        ).where(F.col("band_id").isNotNull())
+        if pack_bucket_key:
+            banded = exploded.select(
+                "_seq", F.xxhash64("band_id", "band_hash").alias("_bkey")
             )
-            .where(F.col("band_id").isNotNull())
-            .select("_seq", F.xxhash64("band_id", "band_hash").alias("_bkey"))
-        )
-        roots = banded.groupBy("_bkey").agg(
+            key_cols = ["_bkey"]
+        else:
+            # unpacked two-column key — kept as the measurement control for
+            # the round-5 shuffle-bytes attribution (tools/bench_minhash_
+            # pack_ab.py); identical semantics, ~50% more key bytes per row
+            banded = exploded
+            key_cols = ["band_id", "band_hash"]
+        roots = banded.groupBy(*key_cols).agg(
             F.min("_seq").alias("_root"), F.count("*").alias("_n")
         )
         # Degenerate-bucket reducer pile-up (round-4 measurement, NOTES.md):
@@ -936,14 +944,14 @@ def minhash_candidate_edges(
         # show them.
         paired = banded
         if drop_oversized_early:
-            dropped_keys = roots.where(F.col("_n") > bucket_cap).select("_bkey")
+            dropped_keys = roots.where(F.col("_n") > bucket_cap).select(*key_cols)
             paired = banded.join(
-                F.broadcast(dropped_keys), ["_bkey"], "left_anti"
+                F.broadcast(dropped_keys), key_cols, "left_anti"
             )
         edges = (
             paired.join(
                 roots.where(F.col("_n") <= bucket_cap),
-                ["_bkey"],
+                key_cols,
             )
             .where(F.col("_seq") != F.col("_root"))
             .select(F.col("_seq").alias("a"), F.col("_root").alias("b"))

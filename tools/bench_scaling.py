@@ -54,11 +54,20 @@ def run_bench(cpus: int, replicas: int, queries: str, timed_runs: int) -> dict:
     cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
     if cpus < os.cpu_count():
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, cwd=ROOT, timeout=3600
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    for attempt in (1, 2):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, cwd=ROOT, timeout=5400
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        sys.stderr.write(
+            f"bench leg produced no JSON (rc={out.returncode}, attempt "
+            f"{attempt}); stderr tail:\n" + "\n".join(
+                out.stderr.strip().splitlines()[-15:]
+            ) + "\n"
+        )
+    raise RuntimeError("bench leg failed twice; see stderr above")
 
 
 def main():
