@@ -267,13 +267,16 @@ def run_exact_dedup_stream_indexed(
             fresh = tagged
             # the batch's distinct (prefix, bucket) pairs drive BOTH the
             # probe pruning and (since round 5) this generation's prefix
-            # summary — one small job over the persisted batch
+            # summary — one job over the persisted batch, fetched via ARROW
+            # (a large batch has 10^5-10^6 distinct prefixes; row-collect
+            # over py4j cost 7-13 s/batch at r1600 — 75% of the indexed
+            # path's overhead — vs ~0.5 s as Arrow)
             cur = tagged.select(
                 F.shiftright("_th", pfx_shift).alias("p"),
                 F.pmod("_th", F.lit(n_state_buckets)).alias("k"),
-            ).distinct().collect()
-            cur_pfx = {r["p"] for r in cur}
-            cur_buckets = sorted({int(r["k"]) for r in cur})
+            ).distinct().toPandas()
+            cur_pfx = set(cur["p"].tolist())
+            cur_buckets = sorted(int(x) for x in set(cur["k"].tolist()))
             t = _mark("probe_collect_s", t)
             if prior:
                 candidates = []
@@ -315,13 +318,22 @@ def run_exact_dedup_stream_indexed(
                         .where(F.col("bucket").isin(cur_buckets))
                         .select("_th")
                     )
-                    fresh = tagged.join(seen, "_th", "left_anti")
                     bytes_read = sum(
                         _cached_dir_bytes(os.path.join(p, f"bucket={k}"))
                         for p in paths
                         for k in cur_buckets
                         if os.path.isdir(os.path.join(p, f"bucket={k}"))
                     )
+                    # anti-join strategy by MEASURED probe size: a small
+                    # scanned state (compressed segment bytes known exactly
+                    # from the dir walk) broadcasts — the batch never
+                    # shuffles for the probe; past the bound it falls back
+                    # to the shuffle join, the right shape when the probed
+                    # state outgrows one executor (Catalyst can't pick this
+                    # itself: parquet stats under-inform the anti-join side)
+                    if bytes_read < 32 * 1024 * 1024:
+                        seen = F.broadcast(seen)
+                    fresh = tagged.join(seen, "_th", "left_anti")
                     scanned = candidates
                 t = _mark("summary_prune_s", t)
             # batch-local first-seen (min doc_seq per hash), the same
