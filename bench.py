@@ -213,6 +213,15 @@ def run_benchmarks(spark) -> tuple[dict[str, float], dict[str, float]]:
             # the engine, not the bench harness's accumulation.
             try:
                 spark.catalog.clearCache()
+                # localCheckpoint blocks sit in getPersistentRDDs until the
+                # ContextCleaner asynchronously notices their RDDs are
+                # GC'd — under back-to-back runs that lag still OOM'd an
+                # 8 GiB 8-core leg (r1600 session 1); unpersist them
+                # SYNCHRONOUSLY instead of hoping a System.gc() gets there
+                # in time
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for jrdd in list(jmap.values()):
+                    jrdd.unpersist()
                 spark._jvm.System.gc()
             except Exception:
                 pass
